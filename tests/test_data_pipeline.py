@@ -1,0 +1,220 @@
+"""Tests for preprocessing, the window loader, and TFRecord export/import."""
+
+import numpy as np
+import pytest
+
+from composer_tpu import config as config_module
+from composer_tpu.data import loader, preprocess, tfrecord
+from composer_tpu.exceptions import DatasetError
+from composer_tpu.midi import Note, NoteSequence, SustainPeriod
+
+
+@pytest.fixture
+def midi_dataset(tmp_path):
+    """A tiny raw MIDI dataset (4 files)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(42)
+    for index in range(4):
+        notes = []
+        time = 0.0
+        for _ in range(20):
+            duration = float(rng.integers(100, 800))
+            pitch = int(rng.integers(40, 90))
+            velocity = int(rng.integers(20, 120))
+            notes.append(Note(time, time + duration, pitch, velocity))
+            time += float(rng.integers(50, 400))
+        NoteSequence(notes, [SustainPeriod(0, time / 2)]).to_midi(
+            str(raw / f"piece{index}.mid")
+        )
+    return raw
+
+
+@pytest.fixture
+def default_config():
+    return config_module.get_default()
+
+
+def test_convert_file_with_transform(midi_dataset, tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    files = preprocess.convert_file(
+        next(midi_dataset.glob("*.mid")), out, transform=True, seed=7
+    )
+    # 1 base + 8 pitch shifts + 1 time stretch.
+    assert len(files) == 10
+    assert all(f.exists() for f in files)
+    # Deterministic under the same seed.
+    sizes_a = [f.stat().st_size for f in files]
+    files_b = preprocess.convert_file(
+        next(midi_dataset.glob("*.mid")), out, transform=True, seed=7
+    )
+    assert [f.stat().st_size for f in files_b] == sizes_a
+
+
+def test_split_dataset(midi_dataset, tmp_path, default_config):
+    out = tmp_path / "processed"
+    preprocess.split_dataset(
+        default_config, midi_dataset, out, "extend", test_percent=0.25,
+        transform=False, transform_percent=1.0, num_workers=1,
+        show_progress_bar=False,
+    )
+    train_files = preprocess.get_processed_files(out / "train")
+    test_files = preprocess.get_processed_files(out / "test")
+    assert len(train_files) == 3
+    assert len(test_files) == 1
+
+
+def test_window_dataset_semantics():
+    stream = np.arange(100, dtype=np.int32)
+    dataset = loader.WindowDataset(stream, batch_size=2, window_size=9, shuffle=False)
+    # 100 // 10 = 10 windows -> 5 batches of 2.
+    assert len(dataset) == 5
+    x, y = next(iter(dataset))
+    assert x.shape == (2, 9) and y.shape == (2, 9)
+    # Labels are inputs shifted by one within the same window.
+    np.testing.assert_array_equal(y[:, :-1], x[:, 1:])
+    np.testing.assert_array_equal(x[0], np.arange(9))
+    np.testing.assert_array_equal(y[0], np.arange(1, 10))
+
+
+def test_window_dataset_shuffle_reproducible():
+    stream = np.arange(1000, dtype=np.int32)
+    a = loader.WindowDataset(stream, 4, 9, shuffle=True, seed=3)
+    b = loader.WindowDataset(stream, 4, 9, shuffle=True, seed=3)
+    xa, _ = next(iter(a))
+    xb, _ = next(iter(b))
+    np.testing.assert_array_equal(xa, xb)
+    # Reshuffles on the next epoch.
+    xa2, _ = next(iter(a))
+    assert not np.array_equal(xa, xa2)
+
+
+def test_window_dataset_sharding():
+    stream = np.arange(400, dtype=np.int32)
+    full = loader.WindowDataset(stream, 1, 9, shuffle=False)
+    shard0 = loader.WindowDataset(stream, 1, 9, shuffle=False, shard_count=2, shard_index=0)
+    shard1 = loader.WindowDataset(stream, 1, 9, shuffle=False, shard_count=2, shard_index=1)
+    assert shard0.windows.shape[0] + shard1.windows.shape[0] == full.windows.shape[0]
+    merged = np.sort(
+        np.concatenate([shard0.windows[:, 0], shard1.windows[:, 0]])
+    )
+    np.testing.assert_array_equal(merged, np.sort(full.windows[:, 0]))
+
+
+def test_dataset_too_small_raises():
+    with pytest.raises(DatasetError):
+        loader.WindowDataset(np.arange(5, dtype=np.int32), 1, 9)
+
+
+def test_end_to_end_preprocess_and_load(midi_dataset, tmp_path, default_config):
+    out = tmp_path / "processed"
+    preprocess.convert_all(
+        default_config, midi_dataset, out, "extend", transform=False,
+        transform_percent=1.0, num_workers=1, show_progress_bar=False,
+    )
+    files = preprocess.get_processed_files(out)
+    dataset = loader.load_dataset(files, batch_size=2, window_size=16, shuffle=False)
+    x, y = next(iter(dataset))
+    assert x.dtype == np.int32
+    assert x.max() < 390  # default vocab
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    stream = np.arange(0, 330, dtype=np.int32) % 300
+    dataset = loader.WindowDataset(stream, batch_size=2, window_size=10, shuffle=False)
+    path = tmp_path / "dataset.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+
+    header, batches = tfrecord.load_tfrecord_dataset(path)
+    assert header == {"model_type": "transformer", "batch_size": 2, "window_size": 10}
+    original = list(dataset)
+    assert len(batches) == len(original)
+    for (x, y), (ox, oy) in zip(batches, original):
+        np.testing.assert_array_equal(x, ox)
+        np.testing.assert_array_equal(y, oy)
+
+
+def test_tfrecord_crc_detects_corruption(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    tfrecord.write_records(path, [b"hello world"])
+    raw = bytearray(path.read_bytes())
+    raw[14] ^= 0xFF  # flip a payload byte
+    path.write_bytes(bytes(raw))
+    with pytest.raises(DatasetError):
+        list(tfrecord.read_records(path))
+
+
+def test_tfrecord_compatible_with_tensorflow(tmp_path):
+    """Byte-level compatibility with TF's own reader/writer (both directions)."""
+    tf = pytest.importorskip("tensorflow")
+
+    # Ours -> TF
+    stream = np.arange(0, 132, dtype=np.int32)
+    dataset = loader.WindowDataset(stream, batch_size=1, window_size=10, shuffle=False)
+    ours = tmp_path / "ours.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", ours)
+
+    tf_dataset = tf.data.TFRecordDataset([str(ours)])
+    records = list(tf_dataset.as_numpy_iterator())
+    header = tf.io.parse_single_example(
+        records[0],
+        {
+            "model_type": tf.io.FixedLenFeature([], tf.string),
+            "batch_size": tf.io.FixedLenFeature([], tf.int64),
+            "window_size": tf.io.FixedLenFeature([], tf.int64),
+        },
+    )
+    assert header["model_type"].numpy() == b"transformer"
+    assert int(header["batch_size"].numpy()) == 1
+    body = tf.io.parse_single_example(
+        records[1],
+        {"x": tf.io.FixedLenFeature([], tf.string), "y": tf.io.FixedLenFeature([], tf.string)},
+    )
+    x = tf.io.parse_tensor(body["x"].numpy(), tf.int32).numpy()
+    np.testing.assert_array_equal(x, np.arange(10)[None, :])
+
+    # TF -> ours
+    theirs = tmp_path / "theirs.tfrecord"
+    with tf.io.TFRecordWriter(str(theirs)) as writer:
+        writer.write(
+            tf.train.Example(
+                features=tf.train.Features(
+                    feature={
+                        "model_type": tf.train.Feature(
+                            bytes_list=tf.train.BytesList(value=[b"transformer"])
+                        ),
+                        "batch_size": tf.train.Feature(
+                            int64_list=tf.train.Int64List(value=[1])
+                        ),
+                        "window_size": tf.train.Feature(
+                            int64_list=tf.train.Int64List(value=[10])
+                        ),
+                    }
+                )
+            ).SerializeToString()
+        )
+        x = np.arange(10, dtype=np.int32)[None, :]
+        writer.write(
+            tf.train.Example(
+                features=tf.train.Features(
+                    feature={
+                        "x": tf.train.Feature(
+                            bytes_list=tf.train.BytesList(
+                                value=[tf.io.serialize_tensor(x).numpy()]
+                            )
+                        ),
+                        "y": tf.train.Feature(
+                            bytes_list=tf.train.BytesList(
+                                value=[tf.io.serialize_tensor(x + 1).numpy()]
+                            )
+                        ),
+                    }
+                )
+            ).SerializeToString()
+        )
+
+    header, batches = tfrecord.load_tfrecord_dataset(theirs)
+    assert header["model_type"] == "transformer"
+    np.testing.assert_array_equal(batches[0][0], np.arange(10)[None, :])
+    np.testing.assert_array_equal(batches[0][1], np.arange(1, 11)[None, :])
