@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1024-event KV-cached decode on the default Transformer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the north-star target of 50k events/sec/chip (the reference
+publishes no numbers; BASELINE.md).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from composer_tpu.bench import run_decode_benchmark
+
+
+def main():
+    result = run_decode_benchmark(length=1024, batch_size=1)
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "vs_baseline": result["vs_baseline"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

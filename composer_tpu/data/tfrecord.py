@@ -325,6 +325,32 @@ def _chain_first(first, rest):
     yield from rest
 
 
+class TFRecordWindowDataset:
+    """Iterable of (x, y) batches loaded from a TFRecord, trainer-compatible.
+
+    Matches the reference's load path (models/__init__.py:315-374): batches
+    come pre-shaped from the record; shuffling reorders batches per epoch.
+    """
+
+    def __init__(self, header, batches, shuffle=True, seed=0):
+        self.header = header
+        self.batch_size = header["batch_size"]
+        self.window_size = header["window_size"]
+        self.batches = batches
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        order = np.arange(len(self.batches))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for index in order:
+            yield self.batches[index]
+
+
 def load_tfrecord_dataset(filepath):
     """Loads a TFRecord dataset: returns (header dict, [(x, y) batches])."""
     records = read_records(filepath)

@@ -51,6 +51,10 @@ def init() -> None:
     handler.setFormatter(_ColourFormatter(_DEFAULT_FORMAT))
     root.addHandler(handler)
 
+    # Third-party chatter (orbax prints per-save INFO through absl/logging).
+    for noisy in ("absl", "orbax", "orbax.checkpoint", "jax._src.xla_bridge"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
 
 def set_verbosity(level_name: str) -> None:
     level = getattr(logging, level_name.upper(), None)

@@ -34,6 +34,22 @@ ONE_HOT_ENCODING_TYPE_ID = 9223372036854775806
 _TYPE_ID_STRUCT = struct.Struct("<Q")
 _INT_HEADER_STRUCT = struct.Struct("<hhh")
 
+try:  # optional C++ accelerator for the bulk id decode (hot path)
+    from composer_tpu.native import loader as _native
+except Exception:  # pragma: no cover - accelerator is optional
+    _native = None
+
+
+def _pairs_to_ids(pairs: np.ndarray, vocab: Vocabulary) -> np.ndarray:
+    if _native is not None:
+        try:
+            return _native.decode_event_ids(
+                pairs, vocab.velocity_bins, vocab.max_time_steps
+            ).astype(np.int64)
+        except ValueError as error:
+            raise EncodingError(str(error)) from error
+    return vocab.encode_pairs(pairs[:, 0], pairs[:, 1])
+
 
 def _read_type_id(buffer: bytes) -> int:
     if len(buffer) < _TYPE_ID_STRUCT.size:
@@ -127,7 +143,7 @@ class IntegerEncodedEventSequence:
         vocab = get_vocabulary(tsi, mts, vbins)
 
         pairs = cls._event_pairs(buffer, body_offset)
-        ids = vocab.encode_pairs(pairs[:, 0], pairs[:, 1])
+        ids = _pairs_to_ids(pairs, vocab)
         if as_numpy_array:
             ids = ids.astype(numpy_dtype)
         else:

@@ -1,0 +1,159 @@
+"""Multi-head causal attention with Music-Transformer relative position bias.
+
+Replaces the reference's eager TF attention (transformer.py:211-448) with
+functional JAX designed for XLA/TPU:
+
+* static shapes everywhere; the causal mask is built with ``broadcasted_iota``
+  (no band_part),
+* the relative bias uses the memory-efficient "skew" trick
+  (transformer.py:303-329) for full-sequence attention, and a
+  ``dynamic_slice`` gather for single-token KV-cached decode — the reference
+  never wired relative attention into cached decode at all,
+* the relative embedding ``E`` is shaped (heads, window, head_depth) —
+  per *relative distance*, decoupled from batch size (the reference coupled it
+  to batch*sequence, a quirk documented in SURVEY.md §2.3).
+
+Layout convention: ``E[h, window-1-d]`` holds the embedding for relative
+distance ``d`` (0 = the query position itself, increasing into the past).
+
+Masking parity: scores are combined as ``w * b - 1e4 * (1 - b)`` after
+scaling, matching the reference numerics (transformer.py:354) for NLL parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def causal_mask(q_len: int, k_len: int, q_offset=0, dtype=jnp.float32) -> jnp.ndarray:
+    """[q_len, k_len] mask: 1 where key j may attend from query i, else 0.
+
+    Query i sits at absolute position ``q_offset + i``; key j at position j.
+    With ``q_offset = k_len - q_len`` this reproduces the reference's
+    lower-triangle-from-bottom-right mask (transformer.py:290-301).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
+    if isinstance(q_offset, int):
+        offset = jnp.int32(q_offset)
+    else:
+        offset = q_offset.astype(jnp.int32)
+    return (rows + offset >= cols).astype(dtype)
+
+
+def skew_relative_logits(rel: jnp.ndarray) -> jnp.ndarray:
+    """The Music-Transformer pad-reshape-slice skew.
+
+    ``rel[..., i, m]`` holds ``q_i . E_slice[m]`` where ``E_slice[m]`` is the
+    embedding for relative distance ``S - 1 - m``; the output aligns it so
+    ``out[..., i, j] = q_i . E(distance i - j)`` (entries with j > i are
+    garbage and must be masked). Reference: transformer.py:303-329.
+    """
+    *batch, s_q, s_k = rel.shape
+    padded = jnp.pad(rel, [(0, 0)] * len(batch) + [(0, 0), (1, 0)])
+    reshaped = padded.reshape(*batch, s_k + 1, s_q)
+    return reshaped[..., 1:, :]
+
+
+def relative_logits_full(q: jnp.ndarray, rel_embedding: jnp.ndarray) -> jnp.ndarray:
+    """Relative-position logits for square self-attention.
+
+    q: [batch, heads, seq, depth]; rel_embedding: [heads, window, depth] in
+    skew layout. Returns [batch, heads, seq, seq].
+    """
+    seq = q.shape[2]
+    window = rel_embedding.shape[1]
+    # The trailing `seq` slots cover distances seq-1 .. 0.
+    e_slice = jax.lax.dynamic_slice_in_dim(rel_embedding, window - seq, seq, axis=1)
+    rel = jnp.einsum("bhsd,hmd->bhsm", q, e_slice)
+    return skew_relative_logits(rel)
+
+
+def relative_logits_decode(
+    q: jnp.ndarray, rel_embedding: jnp.ndarray, position, cache_len: int
+) -> jnp.ndarray:
+    """Relative logits for one query token against a KV cache.
+
+    q: [batch, heads, 1, depth]; ``position`` is the query's absolute position
+    (traced scalar). Returns [batch, heads, 1, cache_len] where slot j holds
+    ``q . E(distance position - j)``; slots j > position are garbage and must
+    be masked by the caller.
+
+    In skew layout the embeddings for distances ``position .. position -
+    (cache_len-1)`` are *contiguous* starting at ``window - 1 - position``, so
+    a single ``dynamic_slice`` of a zero-padded E suffices — no gather.
+    """
+    heads, window, depth = rel_embedding.shape
+    padded = jnp.pad(rel_embedding, ((0, 0), (0, cache_len), (0, 0)))
+    start = jnp.clip(window - 1 - position, 0, window + cache_len - 1)
+    e_slice = jax.lax.dynamic_slice(
+        padded, (0, start, 0), (heads, cache_len, depth)
+    )
+    return jnp.einsum("bhqd,hmd->bhqm", q, e_slice)
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    rel_embedding=None,
+    q_position=None,
+    scale: bool = True,
+    mask=None,
+    dropout_rng=None,
+    dropout_rate: float = 0.0,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Causal multi-head attention core.
+
+    q: [B, H, S_q, D]; k, v: [B, H, S_k, D]. ``mask`` is [S_q, S_k] (or
+    broadcastable) with 1 = attend. When ``rel_embedding`` is given, the
+    relative bias is added to the raw scores before scaling (reference order:
+    transformer.py:341-348). ``q_position`` (traced scalar) selects the
+    decode path for S_q == 1 against a longer cache.
+    """
+    s_q, s_k = q.shape[2], k.shape[2]
+    compute_dtype = q.dtype
+
+    if (
+        use_pallas
+        and s_q == s_k
+        and q_position is None
+        and mask is None
+        and dropout_rng is None
+        and s_q % 128 == 0
+    ):
+        from composer_tpu.ops.pallas_attention import relative_flash_attention
+
+        return relative_flash_attention(q, k, v, rel_embedding, scale=scale)
+
+    w = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+
+    if rel_embedding is not None:
+        if s_q == s_k and q_position is None:
+            w = w + relative_logits_full(q, rel_embedding)
+        else:
+            if q_position is None:
+                raise ValueError(
+                    "q_position is required for relative attention with a KV cache."
+                )
+            w = w + relative_logits_decode(q, rel_embedding, q_position, s_k)
+
+    if scale:
+        w = w * jax.lax.rsqrt(jnp.asarray(q.shape[-1], dtype=compute_dtype))
+
+    if mask is None:
+        offset = q_position if q_position is not None else s_k - s_q
+        mask = causal_mask(s_q, s_k, q_offset=offset, dtype=compute_dtype)
+    mask = mask.astype(compute_dtype)
+    w = w * mask - jnp.asarray(1e4, compute_dtype) * (1 - mask)
+
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(compute_dtype)
+
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, w.shape)
+        w = w * keep.astype(compute_dtype) / (1.0 - dropout_rate)
+
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)

@@ -1,0 +1,17 @@
+"""Device-mesh parallelism: mesh construction, sharding rules, collectives."""
+
+from composer_tpu.parallel.mesh import (
+    LOGICAL_AXIS_RULES,
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_params,
+)
+
+__all__ = [
+    "LOGICAL_AXIS_RULES",
+    "batch_sharding",
+    "create_mesh",
+    "replicated_sharding",
+    "shard_params",
+]

@@ -1,0 +1,84 @@
+"""Device mesh and sharding utilities.
+
+The reference had no distributed runtime at all (SURVEY.md §2.6); this module
+is the whole "communication backend" of the TPU rebuild: a
+``jax.sharding.Mesh`` over (data, model) axes plus NamedShardings. Gradient
+all-reduce, parameter all-gather, etc. are inserted by XLA's SPMD partitioner
+from these annotations and ride ICI — no hand-written collectives needed for
+data/tensor parallelism.
+
+Logical axis names used in the models (see models/transformer.py) map to mesh
+axes through ``LOGICAL_AXIS_RULES``:
+
+  batch  -> data      (batch dimension of activations)
+  heads  -> model     (attention heads / qkv projections)
+  mlp    -> model     (MLP hidden dimension)
+  vocab/embed -> replicated by default
+
+A 1-D ('data',) mesh gives pure DP (the parity requirement); a 2-D mesh
+enables TP on the same annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+LOGICAL_AXIS_RULES = (
+    ("batch", DATA_AXIS),
+    ("heads", MODEL_AXIS),
+    ("mlp", MODEL_AXIS),
+    ("vocab", None),
+    ("embed", None),
+)
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
+    """Builds a (data, model) mesh over the available devices.
+
+    ``data=None`` uses all remaining devices on the data axis.
+    """
+    devices = devices if devices is not None else jax.devices()
+    count = len(devices)
+    if data is None:
+        if count % model != 0:
+            raise ValueError(f"{count} devices not divisible by model={model}")
+        data = count // model
+    if data * model != count:
+        devices = devices[: data * model]
+    grid = np.asarray(devices).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shards the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def logical_to_mesh_sharding(logical_specs, mesh: Mesh):
+    """Resolves flax logical annotations to NamedShardings under the rules."""
+    return nn.logical_to_mesh_sharding(logical_specs, mesh, LOGICAL_AXIS_RULES)
+
+
+def shard_params(params, mesh: Mesh, logical_specs=None):
+    """Places a parameter pytree on the mesh.
+
+    With ``logical_specs`` (from ``nn.get_partition_spec`` on a pytree of
+    ``nn.Partitioned`` leaves) parameters follow their logical annotations
+    (enabling TP); otherwise everything is replicated (pure DP).
+    """
+    if logical_specs is not None:
+        shardings = logical_to_mesh_sharding(logical_specs, mesh)
+        return jax.device_put(params, shardings)
+    return jax.device_put(params, replicated_sharding(mesh))

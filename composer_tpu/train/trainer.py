@@ -1,0 +1,317 @@
+"""The jitted training loop.
+
+Replaces the reference's eager per-op GradientTape loops (transformer.py:
+846-960, music_rnn.py:155-276 — which never used tf.function at all, SURVEY.md
+§3.1) with ONE compiled train step: forward + loss + backward + Adam update
+fused by XLA, executed on device with only scalar metrics returning to host.
+
+Data parallelism: given a mesh, batches are placed with the batch dimension
+sharded over the 'data' axis and parameters replicated (or sharded per their
+logical axes for TP); XLA's SPMD partitioner inserts the gradient all-reduce
+on ICI. The same trainer runs single-chip when ``mesh`` is None.
+
+Optimizer parity: Adam with eps=1e-7 (Keras' default, which the reference
+relied on) and sparse softmax cross-entropy; accuracy is argmax equality
+(transformer.py:887-926).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from tqdm import tqdm
+
+from composer_tpu import ModelSaveFrequencyMode
+from composer_tpu.models import ModelType
+from composer_tpu.models.music_rnn import init_state as rnn_init_state
+from composer_tpu.parallel import mesh as mesh_lib
+from composer_tpu.train.checkpoint import CheckpointManager, abstract_like
+from composer_tpu.train.metrics import MetricsWriter
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+    params: Any
+    opt_state: Any
+    extra_vars: Any  # e.g. {'batch_stats': ...} for MusicRNN
+
+
+def cross_entropy_and_accuracy(logits, labels):
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels
+    ).mean()
+    accuracy = jnp.mean(
+        (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    )
+    return loss, accuracy
+
+
+def make_optimizer(learning_rate: float, eps: float = 1e-7):
+    return optax.adam(learning_rate, eps=eps)
+
+
+class Trainer:
+    """Shared train/evaluate driver for both model families."""
+
+    def __init__(
+        self,
+        model,
+        model_type: ModelType,
+        learning_rate: float,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.model_type = model_type
+        self.optimizer = make_optimizer(learning_rate)
+        self.mesh = mesh
+        self.seed = seed
+        self._compiled_train_step = None
+        self._compiled_eval_step = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, batch_size: int, window_size: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        tokens = jnp.zeros((batch_size, window_size), dtype=jnp.int32)
+        variables = self.model.init({"params": rng}, tokens)
+        variables = nn.unbox(variables)  # strip Partitioned metadata boxes
+        params = variables["params"]
+        extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        state = TrainState(
+            step=jnp.ones((), jnp.int32),
+            epoch=jnp.ones((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            extra_vars=extra_vars,
+        )
+        if self.mesh is not None:
+            state = jax.device_put(
+                state, mesh_lib.replicated_sharding(self.mesh)
+            )
+        return state
+
+    def init_rnn_carry(self, batch_size: int):
+        if self.model_type != ModelType.MUSIC_RNN:
+            return None
+        return rnn_init_state(self.model.config, batch_size)
+
+    # ------------------------------------------------------------------ steps
+    def _loss_fn(self, params, extra_vars, x, y, rng, carry):
+        if self.model_type == ModelType.TRANSFORMER:
+            logits, _ = self.model.apply(
+                {"params": params, **extra_vars},
+                x,
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            new_extra, new_carry = extra_vars, carry
+        else:
+            (logits, new_carry), updates = self.model.apply(
+                {"params": params, **extra_vars},
+                x,
+                carry,
+                deterministic=False,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            new_extra = {**extra_vars, **updates}
+        loss, accuracy = cross_entropy_and_accuracy(logits, y)
+        return loss, (accuracy, new_extra, new_carry)
+
+    def _train_step(self, state: TrainState, x, y, rng, carry):
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (loss, (accuracy, new_extra, new_carry)), grads = grad_fn(
+            state.params, state.extra_vars, x, y, rng, carry
+        )
+        updates, new_opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            extra_vars=new_extra,
+        )
+        return new_state, {"loss": loss, "accuracy": accuracy}, new_carry
+
+    def _eval_step(self, state: TrainState, x, y, carry):
+        if self.model_type == ModelType.TRANSFORMER:
+            logits, _ = self.model.apply(
+                {"params": state.params, **state.extra_vars}, x
+            )
+            new_carry = carry
+        else:
+            logits, new_carry = self.model.apply(
+                {"params": state.params, **state.extra_vars}, x, carry
+            )
+        loss, accuracy = cross_entropy_and_accuracy(logits, y)
+        return {"loss": loss, "accuracy": accuracy}, new_carry
+
+    @property
+    def train_step(self):
+        if self._compiled_train_step is None:
+            self._compiled_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        return self._compiled_train_step
+
+    @property
+    def eval_step(self):
+        if self._compiled_eval_step is None:
+            self._compiled_eval_step = jax.jit(self._eval_step)
+        return self._compiled_eval_step
+
+    def _place_batch(self, x, y):
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(y)
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        return jax.device_put(x, sharding), jax.device_put(y, sharding)
+
+    # ------------------------------------------------------------------- loop
+    def train(
+        self,
+        dataset,
+        state: TrainState,
+        logdir,
+        epochs: Optional[int] = 10,
+        save_frequency_mode=ModelSaveFrequencyMode.EPOCH,
+        save_frequency: int = 1,
+        max_checkpoints: int = 1,
+        show_progress_bar: bool = True,
+        reset_rnn_state_each_epoch: bool = True,
+        profile_dir=None,
+        profile_steps: int = 5,
+    ) -> TrainState:
+        """Runs the epoch/batch loop with checkpointing and TB scalars.
+
+        ``profile_dir`` captures a ``jax.profiler`` trace of steps
+        [2, 2 + profile_steps) — step 1 is excluded so compilation does not
+        dominate the trace. (The reference had no profiling at all,
+        SURVEY.md §5.)
+        """
+        logdir = Path(logdir)
+        save_frequency_mode = ModelSaveFrequencyMode(save_frequency_mode)
+        checkpoints = CheckpointManager(logdir, max_to_keep=max_checkpoints)
+        writer = MetricsWriter(logdir / "train")
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        batch_size = dataset.batch_size
+        carry = self.init_rnn_carry(batch_size)
+        steps_per_epoch = len(dataset)
+        events_per_batch = batch_size * dataset.window_size
+
+        try:
+            while epochs is None or int(state.epoch) < epochs:
+                current_epoch = int(state.epoch)
+                logging.info(
+                    "Epoch %s",
+                    current_epoch if epochs is None else f"{current_epoch}/{epochs}",
+                )
+                if reset_rnn_state_each_epoch:
+                    carry = self.init_rnn_carry(batch_size)
+
+                epoch_loss, epoch_accuracy, batch_count = 0.0, 0.0, 0
+                progress = tqdm(total=steps_per_epoch, disable=not show_progress_bar)
+                epoch_start = time.perf_counter()
+                for x, y in dataset:
+                    x, y = self._place_batch(x, y)
+                    rng, step_rng = jax.random.split(rng)
+
+                    if profile_dir is not None and int(state.step) == 2:
+                        jax.profiler.start_trace(str(profile_dir))
+                    state, metrics, carry = self.train_step(
+                        state, x, y, step_rng, carry
+                    )
+                    if profile_dir is not None and int(state.step) == 2 + profile_steps:
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
+                        profile_dir = None
+
+                    global_step = int(state.step) - 1
+                    loss = float(metrics["loss"])
+                    accuracy = float(metrics["accuracy"])
+                    epoch_loss += loss
+                    epoch_accuracy += accuracy
+                    batch_count += 1
+
+                    writer.scalar("loss", loss, global_step)
+                    writer.scalar("accuracy", accuracy, global_step)
+                    progress.set_description(
+                        f"- loss: {loss:.4f} - accuracy: {accuracy:.4f}"
+                    )
+                    progress.update(1)
+
+                    if (
+                        save_frequency_mode == ModelSaveFrequencyMode.GLOBAL_STEP
+                        and global_step % save_frequency == 0
+                    ):
+                        checkpoints.save(global_step, flax.serialization.to_state_dict(state))
+
+                elapsed = time.perf_counter() - epoch_start
+                if batch_count:
+                    writer.scalar("epoch_loss", epoch_loss / batch_count, current_epoch)
+                    writer.scalar(
+                        "epoch_accuracy", epoch_accuracy / batch_count, current_epoch
+                    )
+                    writer.scalar(
+                        "events_per_second",
+                        batch_count * events_per_batch / max(elapsed, 1e-9),
+                        current_epoch,
+                    )
+                progress.close()
+
+                state = state.replace(epoch=state.epoch + 1)
+                if (
+                    save_frequency_mode == ModelSaveFrequencyMode.EPOCH
+                    and current_epoch % save_frequency == 0
+                ):
+                    checkpoints.save(
+                        int(state.step) - 1, flax.serialization.to_state_dict(state)
+                    )
+                writer.flush()
+
+            # Always leave a final checkpoint (the reference could end a run
+            # with nothing saved when the save frequency never divided the
+            # step/epoch counter — e.g. epoch mode with the default
+            # save_frequency of 500).
+            final_step = int(state.step) - 1
+            if final_step > 0 and checkpoints.latest_step() != final_step:
+                checkpoints.save(final_step, flax.serialization.to_state_dict(state))
+        finally:
+            checkpoints.wait()
+            writer.close()
+
+        return state
+
+    def evaluate(self, dataset, state: TrainState):
+        """Mean loss/accuracy over a dataset (the NLL parity surface)."""
+        carry = self.init_rnn_carry(dataset.batch_size)
+        total_loss, total_accuracy, batches = 0.0, 0.0, 0
+        for x, y in dataset:
+            x, y = self._place_batch(x, y)
+            metrics, carry = self.eval_step(state, x, y, carry)
+            total_loss += float(metrics["loss"])
+            total_accuracy += float(metrics["accuracy"])
+            batches += 1
+        if batches == 0:
+            return {"loss": float("nan"), "accuracy": float("nan")}
+        return {"loss": total_loss / batches, "accuracy": total_accuracy / batches}
+
+    # ------------------------------------------------------------- restoring
+    def restore(self, logdir, batch_size: int, window_size: int) -> TrainState:
+        """Restores the latest checkpoint under ``logdir``."""
+        template = self.init_state(batch_size, window_size)
+        template_dict = flax.serialization.to_state_dict(template)
+        checkpoints = CheckpointManager(Path(logdir))
+        restored = checkpoints.restore(abstract_like(template_dict))
+        return flax.serialization.from_state_dict(template, restored)

@@ -7,12 +7,19 @@ pattern; see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The image presets JAX_PLATFORMS=axon (the real TPU tunnel); tests must run
+# on the virtual CPU mesh. A pytest plugin imports jax before this conftest
+# runs, so env vars are too late — use jax.config (the backend itself is not
+# initialized until the first device access, so these still take effect).
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Deterministic fp32 matmuls for golden comparisons (the CPU backend's
+# default matmul precision is reduced, like the TPU MXU's bf16 path).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

@@ -1,0 +1,130 @@
+"""Trainer tests: loss goes down, checkpoints round-trip, DP mesh works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composer_tpu import ModelSaveFrequencyMode
+from composer_tpu.data.loader import WindowDataset
+from composer_tpu.models import ModelType
+from composer_tpu.models.music_rnn import MusicRNN, MusicRNNConfig
+from composer_tpu.models.transformer import Transformer, TransformerConfig
+from composer_tpu.parallel import create_mesh
+from composer_tpu.train.trainer import Trainer
+
+VOCAB = 64
+
+
+def _toy_stream(length=4000):
+    # A highly learnable periodic stream.
+    return (np.arange(length) % 7 + 10).astype(np.int32)
+
+
+def _tiny_transformer():
+    return Transformer(
+        TransformerConfig(
+            vocab_size=VOCAB,
+            embed_dim=16,
+            window_size=16,
+            num_layers=1,
+            num_heads=2,
+            attention_dropout_rate=0.0,
+            residual_dropout_rate=0.0,
+        )
+    )
+
+
+def _tiny_rnn():
+    return MusicRNN(
+        MusicRNNConfig(
+            vocab_size=VOCAB,
+            embed_dim=16,
+            layer_sizes=(16,),
+            dropout_rates=(0.0,),
+            use_batch_normalization=True,
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "model_factory,model_type",
+    [(_tiny_transformer, ModelType.TRANSFORMER), (_tiny_rnn, ModelType.MUSIC_RNN)],
+)
+def test_training_reduces_loss(tmp_path, model_factory, model_type):
+    dataset = WindowDataset(_toy_stream(), batch_size=4, window_size=16, shuffle=True)
+    trainer = Trainer(model_factory(), model_type, learning_rate=1e-2)
+    state = trainer.init_state(4, 16)
+
+    first_metrics = None
+    rng = jax.random.PRNGKey(0)
+    carry = trainer.init_rnn_carry(4)
+    losses = []
+    for epoch in range(2):
+        for x, y in dataset:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics, carry = trainer.train_step(
+                state, jnp.asarray(x), jnp.asarray(y), step_rng, carry
+            )
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_train_loop_and_checkpoint_roundtrip(tmp_path):
+    dataset = WindowDataset(_toy_stream(2000), batch_size=4, window_size=16, shuffle=False)
+    trainer = Trainer(_tiny_transformer(), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state = trainer.init_state(4, 16)
+
+    logdir = tmp_path / "run"
+    state = trainer.train(
+        dataset,
+        state,
+        logdir,
+        epochs=3,
+        save_frequency_mode=ModelSaveFrequencyMode.EPOCH,
+        save_frequency=1,
+        max_checkpoints=2,
+        show_progress_bar=False,
+    )
+    assert (logdir / "checkpoints").exists()
+    assert (logdir / "train" / "metrics.jsonl").exists()
+
+    restored = trainer.restore(logdir, 4, 16)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # Evaluation runs and returns finite metrics.
+    metrics = trainer.evaluate(dataset, restored)
+    assert np.isfinite(metrics["loss"]) and 0 <= metrics["accuracy"] <= 1
+
+
+def test_data_parallel_training_matches_single_device(tmp_path):
+    """The same seed/state on an 8-device DP mesh gives the same loss."""
+    assert jax.device_count() >= 8
+    dataset = WindowDataset(_toy_stream(3000), batch_size=8, window_size=16, shuffle=False)
+
+    single = Trainer(_tiny_transformer(), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state_s = single.init_state(8, 16)
+
+    mesh = create_mesh(data=8, model=1)
+    parallel = Trainer(
+        _tiny_transformer(), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
+    )
+    state_p = parallel.init_state(8, 16)
+
+    rng = jax.random.PRNGKey(0)
+    x, y = next(iter(dataset))
+    for _ in range(3):
+        rng, step_rng = jax.random.split(rng)
+        state_s, metrics_s, _ = single.train_step(
+            state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
+        )
+        xp, yp = parallel._place_batch(x, y)
+        state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=1e-4
+        )

@@ -1,0 +1,149 @@
+"""Transformer model tests: shapes, causality, KV-cache parity, relative bias."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composer_tpu.models.transformer import Transformer, TransformerConfig, init_cache
+from composer_tpu.ops import attention as attention_ops
+
+VOCAB = 90
+
+
+def small_config(**overrides):
+    defaults = dict(
+        vocab_size=VOCAB,
+        embed_dim=32,
+        window_size=24,
+        num_layers=2,
+        num_heads=4,
+        attention_dropout_rate=0.0,
+        residual_dropout_rate=0.0,
+    )
+    defaults.update(overrides)
+    return TransformerConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    config = small_config()
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), batch_size=2, seq_len=8)
+    return model, params, config
+
+
+def test_forward_shapes(model_and_params):
+    model, params, config = model_and_params
+    tokens = jnp.zeros((2, 8), dtype=jnp.int32)
+    logits, cache = model.apply({"params": params}, tokens)
+    assert logits.shape == (2, 8, VOCAB)
+    assert cache is None
+
+
+def test_causality(model_and_params):
+    """Changing a future token must not change earlier logits."""
+    model, params, _ = model_and_params
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, VOCAB, (1, 8)), dtype=jnp.int32)
+    logits_a, _ = model.apply({"params": params}, tokens)
+    perturbed = tokens.at[0, 6].set((tokens[0, 6] + 1) % VOCAB)
+    logits_b, _ = model.apply({"params": params}, perturbed)
+    np.testing.assert_allclose(logits_a[0, :6], logits_b[0, :6], rtol=1e-5, atol=1e-5)
+    assert not np.allclose(logits_a[0, 6], logits_b[0, 6])
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_kv_cache_matches_full_forward(use_relative):
+    """Prefill + step-by-step cached decode == one full forward pass."""
+    config = small_config(use_relative_attention=use_relative)
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(1), batch_size=1, seq_len=8)
+
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, VOCAB, (2, 12)), dtype=jnp.int32)
+
+    full_logits, _ = model.apply({"params": params}, tokens)
+
+    apply = jax.jit(model.apply)
+    cache = init_cache(config, batch_size=2, max_length=16)
+    prefix = 5
+    prefill_logits, cache = apply({"params": params}, tokens[:, :prefix], cache)
+    np.testing.assert_allclose(
+        np.asarray(prefill_logits), np.asarray(full_logits[:, :prefix]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+    for step in range(prefix, 12):
+        step_logits, cache = apply(
+            {"params": params}, tokens[:, step : step + 1], cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, step]),
+            rtol=2e-4, atol=2e-4,
+            err_msg=f"step {step} (relative={use_relative})",
+        )
+
+
+def test_relative_logits_match_bruteforce():
+    """The skew trick and the decode slice both equal direct E-lookup."""
+    heads, window, depth, seq = 3, 16, 8, 10
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    q = jax.random.normal(k1, (2, heads, seq, depth))
+    E = jax.random.normal(k2, (heads, window, depth))
+
+    # Brute force: out[b,h,i,j] = q[b,h,i] . E[h, window-1-(i-j)] for j <= i.
+    expected = np.zeros((2, heads, seq, seq))
+    for i in range(seq):
+        for j in range(i + 1):
+            distance = i - j
+            expected[:, :, i, j] = np.einsum(
+                "bhd,hd->bh", np.asarray(q[:, :, i]), np.asarray(E[:, window - 1 - distance])
+            )
+
+    skewed = np.asarray(attention_ops.relative_logits_full(q, E))
+    mask = np.tril(np.ones((seq, seq)))
+    np.testing.assert_allclose(skewed * mask, expected, rtol=1e-5, atol=1e-5)
+
+    # Decode path: one query at each absolute position against a cache.
+    cache_len = 12
+    for position in [0, 3, 9]:
+        out = attention_ops.relative_logits_decode(
+            q[:, :, position : position + 1], E, jnp.int32(position), cache_len
+        )
+        for j in range(position + 1):
+            np.testing.assert_allclose(
+                np.asarray(out[:, :, 0, j]), expected[:, :, position, j],
+                rtol=1e-5, atol=1e-5,
+            )
+
+
+def test_window_position_embedding_bounds():
+    """Sequences up to window_size work; position indexing stays in range."""
+    config = small_config()
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, config.window_size)
+    tokens = jnp.zeros((1, config.window_size), dtype=jnp.int32)
+    logits, _ = model.apply({"params": params}, tokens)
+    assert logits.shape == (1, config.window_size, VOCAB)
+
+
+def test_dropout_rngs_change_training_output():
+    config = small_config(attention_dropout_rate=0.2, residual_dropout_rate=0.2)
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    tokens = jnp.zeros((1, 8), dtype=jnp.int32)
+    out_a, _ = model.apply(
+        {"params": params}, tokens, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    out_b, _ = model.apply(
+        {"params": params}, tokens, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert not np.allclose(out_a, out_b)
+    # Deterministic mode ignores dropout entirely.
+    out_c, _ = model.apply({"params": params}, tokens)
+    out_d, _ = model.apply({"params": params}, tokens)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_d))
