@@ -30,6 +30,9 @@ def _default_transformer(use_relative_attention: bool, dtype):
         attention_dropout_rate=0.0,
         residual_dropout_rate=0.0,
         dtype=dtype,
+        # Serving path: weights in bf16 too — decode is HBM-bandwidth bound
+        # and fp32 params double the per-step weight traffic.
+        param_dtype=dtype,
     )
     return Transformer(config)
 
