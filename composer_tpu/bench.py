@@ -92,6 +92,101 @@ def run_decode_benchmark(
     }
 
 
+def run_batched_decode_benchmark(
+    batch_size: int = 64,
+    length: int = 2048,
+    prompt_length: int = 10,
+    dtype=None,
+    repeats: int = 2,
+    seed: int = 0,
+):
+    """Batched prompted continuation (BASELINE.md row 2): XLA scan path,
+    where weight reads amortize across the batch."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.train.generate import generate_ids
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    model = _default_transformer(False, dtype)
+    params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, 390, (batch_size, prompt_length)).astype(np.int32)
+
+    def run():
+        return generate_ids(
+            model, ModelType.TRANSFORMER, params, prompt,
+            length=length, temperature=1.0, seed=seed, engine="xla",
+        )
+
+    run()
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - start)
+    best = min(times)
+    events_per_sec = batch_size * length / best
+    return {
+        "metric": "batched_decode_events_per_sec",
+        "value": round(events_per_sec, 1),
+        "unit": "events/sec/chip",
+        "vs_baseline": round(events_per_sec / DECODE_TARGET_EVENTS_PER_SEC, 3),
+        "detail": {
+            "batch_size": batch_size, "length": length,
+            "seconds": round(best, 3), "backend": jax.default_backend(),
+        },
+    }
+
+
+def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: int = 0):
+    """MIDI -> .data preprocessing throughput (BASELINE.md row 3)."""
+    import tempfile
+    from pathlib import Path
+
+    from composer_tpu import config as config_module
+    from composer_tpu.data import preprocess
+    from composer_tpu.midi import Note, NoteSequence, SustainPeriod
+
+    rng = np.random.default_rng(seed)
+    with tempfile.TemporaryDirectory() as tmp:
+        raw = Path(tmp) / "raw"
+        raw.mkdir()
+        for index in range(num_files):
+            t, notes = 0.0, []
+            for _ in range(1500):  # a few minutes of music per file
+                duration = float(rng.integers(80, 800))
+                notes.append(
+                    Note(t, t + duration, int(rng.integers(21, 109)), int(rng.integers(10, 127)))
+                )
+                t += float(rng.integers(20, 300))
+            NoteSequence(notes, [SustainPeriod(0, t / 2)]).to_midi(
+                str(raw / f"bench{index}.mid")
+            )
+
+        config = config_module.get_default()
+        out = Path(tmp) / "processed"
+        start = time.perf_counter()
+        preprocess.convert_all(
+            config, raw, out, "extend", transform=True, transform_percent=1.0,
+            num_workers=num_workers, seed=seed, show_progress_bar=False,
+        )
+        elapsed = time.perf_counter() - start
+        produced = len(preprocess.get_processed_files(out))
+
+    files_per_sec = num_files / elapsed
+    return {
+        "metric": "preprocess_files_per_sec",
+        "value": round(files_per_sec, 2),
+        "unit": "files/sec",
+        "vs_baseline": round(files_per_sec, 2),
+        "detail": {
+            "input_files": num_files, "output_files": produced,
+            "workers": num_workers, "seconds": round(elapsed, 2),
+        },
+    }
+
+
 def run_train_benchmark(
     batch_size: int = 8,
     window_size: int = 2048,

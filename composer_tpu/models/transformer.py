@@ -320,4 +320,5 @@ class Transformer(nn.Module):
     def init_params(self, rng, batch_size: int = 1, seq_len: Optional[int] = None):
         seq_len = seq_len or self.config.window_size
         tokens = jnp.zeros((batch_size, seq_len), dtype=jnp.int32)
-        return self.init({"params": rng}, tokens)["params"]
+        params = self.init({"params": rng}, tokens)["params"]
+        return nn.unbox(params)  # strip partitioning metadata boxes

@@ -1,0 +1,367 @@
+"""Single-kernel autoregressive decoding: the whole token loop in one Pallas call.
+
+Why: the XLA scan decode dispatches ~100 small kernels per token and re-reads
+every weight from HBM every step (~165us/token for the default model). On
+this TPU the *entire* default Transformer (13 MB bf16) and its KV cache fit
+in VMEM at once, so this kernel loads weights exactly once and then runs the
+complete generation loop — embedding, 8 decoder layers, logits, Gumbel
+sampling, token feedback — with zero HBM traffic per step.
+
+Layout choices (all static shapes):
+
+* weights are stacked per-layer: e.g. qkv kernels as one (L, E, 3E) ref,
+  indexed with static python layer indices (the layer loop is unrolled);
+* the KV cache is (L, C, E) with lane = head * head_dim + depth; appending a
+  token's k/v is one dynamic sublane store;
+* per-head attention avoids any transpose/gather:
+    qb   = broadcast(q) * rowmask          (H, E)   rowmask[h, c] = c//D == h
+    S    = qb . K^T                        (H, C)   one MXU op, lane softmax
+    M    = softmax(S) . V                  (H, E)   one MXU op
+    out  = sum(M * rowmask, axis=0)        (1, E)
+* sampling uses the on-core PRNG (pltpu.prng_random_bits) with the Gumbel
+  trick; temperature <= 0 falls back to plain argmax.
+
+Supports batch=1 decode (the latency-critical serving case; batched decode
+stays on the XLA scan path where weight reads amortize).
+
+Numerics note: matmuls run on the MXU in bf16 with f32 accumulation, layer
+norms / softmax in f32 — matching the XLA bf16 decode path closely but not
+bit-exactly; under float32 params both paths produce identical greedy tokens
+(pinned by tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return (value + multiple - 1) // multiple * multiple
+
+
+def _layernorm(x, scale, bias, eps):
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    return centered * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _gelu_tanh(x):
+    # tanh-approximate GELU (reference transformer.py:35-40).
+    return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+
+def _matmul(x, w):
+    # Operands in the weight dtype (bf16 serving / f32 parity testing), f32
+    # accumulation. Mixed-dtype operands are not lowerable.
+    return jax.lax.dot_general(
+        x.astype(w.dtype), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _decode_kernel(
+    # scalar prefetch (SMEM)
+    start_pos_ref, token0_ref, seed_ref, temp_ref,
+    # tensor inputs (VMEM)
+    wte_ref, wte_t_ref, wpe_ref,
+    ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
+    ln2_ref, fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
+    lnf_ref, kcache_ref, vcache_ref,
+    # outputs
+    tokens_ref,
+    # scratch
+    kbuf, vbuf, token_scratch,
+    *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
+    cache_len: int, window: int, vocab_pad: int, vocab_size: int,
+    num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
+):
+    if not greedy:
+        pltpu.prng_seed(seed_ref[0])
+
+    # One-time VMEM copy of the prefilled cache (mutated locally per step).
+    for layer in range(num_layers):
+        kbuf[layer] = kcache_ref[layer]
+        vbuf[layer] = vcache_ref[layer]
+
+    # Constant masks.
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (num_heads, embed_dim), 1) // head_dim
+    head_index = jax.lax.broadcasted_iota(jnp.int32, (num_heads, embed_dim), 0)
+    rowmask = (lane_group == head_index).astype(jnp.float32)  # (H, E)
+    cache_cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, cache_len), 1)
+    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, embed_dim), 0)
+    step_rows = jax.lax.broadcasted_iota(jnp.int32, (num_steps, 1), 0)
+    vocab_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
+    vocab_mask = jnp.where(vocab_cols < vocab_size, 0.0, NEG_INF)
+
+    # Activations stay replicated over R = num_heads sublane rows: Mosaic
+    # rejects 1-sublane bf16 matmul operands, a 16-row operand is exactly one
+    # bf16 tile (and costs the MXU nothing extra), and the replicated rows
+    # double as the per-head query rows for the block-diagonal scores matmul.
+    R = num_heads
+
+    def replicate(x):  # (1, n) -> (R, n)
+        return jnp.broadcast_to(x, (R, x.shape[1]))
+
+    softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
+    temperature = temp_ref[0]
+    start_pos = start_pos_ref[0]
+
+    wte_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
+    wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+
+    def step(i, _):
+        # The token travels through SMEM scratch: an argmax-derived value
+        # lives in vector registers and poisons downstream matmul layouts.
+        token = token_scratch[0]
+        position = start_pos + i
+
+        # Embedding rows via one-hot matmuls: a dynamically-gathered row has a
+        # layout Mosaic's matmul cannot consume, a one-hot contraction is one
+        # clean MXU op.
+        tok_onehot = (wte_cols == token).astype(wte_ref.dtype)
+        tok_embed = jax.lax.dot_general(
+            tok_onehot, wte_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pos_index = jnp.minimum(position, window - 1)
+        pos_onehot = (wpe_cols == pos_index).astype(wpe_ref.dtype)
+        pos_embed = jax.lax.dot_general(
+            pos_onehot, wpe_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = replicate(tok_embed + pos_embed)  # (R, E) f32
+
+        for layer in range(num_layers):
+            x1 = _layernorm(
+                h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps
+            )
+
+            qkv = _matmul(x1, qkv_w_ref[layer]) + qkv_b_ref[layer].astype(jnp.float32)
+            q = qkv[:, :embed_dim]  # (R, E) replicated rows
+            k = qkv[0:1, embed_dim : 2 * embed_dim]  # (1, E)
+            v = qkv[0:1, 2 * embed_dim :]
+
+            # Append this position's k/v. Mosaic cannot store a single row at
+            # an arbitrary dynamic sublane offset, but it CAN address a
+            # 128-aligned slab — mask-write only the slab holding `position`.
+            slab = pl.multiple_of((position // 128) * 128, 128)
+            row_hit = slab_rows == (position - slab)
+            k_slab = kbuf[layer, pl.ds(slab, 128), :]
+            kbuf[layer, pl.ds(slab, 128), :] = jnp.where(
+                row_hit, jnp.broadcast_to(k, (128, embed_dim)), k_slab
+            ).astype(kbuf.dtype)
+            v_slab = vbuf[layer, pl.ds(slab, 128), :]
+            vbuf[layer, pl.ds(slab, 128), :] = jnp.where(
+                row_hit, jnp.broadcast_to(v, (128, embed_dim)), v_slab
+            ).astype(vbuf.dtype)
+
+            # Scores: S[h, j] = q_h . k_j via one block-diagonal matmul — the
+            # replicated q rows masked per head (contraction over lanes).
+            qb = (q * rowmask).astype(kbuf.dtype)  # (H, E)
+            scores = jax.lax.dot_general(
+                qb, kbuf[layer],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, C)
+            scores = scores * softmax_scale
+            scores = jnp.where(cache_cols <= position, scores, NEG_INF)
+
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            w = p / jnp.sum(p, axis=1, keepdims=True)  # (H, C)
+
+            mixed = jax.lax.dot_general(
+                w.astype(vbuf.dtype), vbuf[layer],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, E)
+            attn = jnp.sum(mixed * rowmask, axis=0, keepdims=True)  # (1, E)
+
+            attn = replicate(attn)
+            attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(jnp.float32)
+            x2 = x1 + attn
+
+            mm = _layernorm(
+                x2, ln2_ref[layer, 0:1, :], ln2_ref[layer, 1:2, :], ln_eps
+            )
+            hidden = _gelu_tanh(
+                _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
+            )
+            h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(jnp.float32)
+
+        hf = _layernorm(h, lnf_ref[0, 0:1, :], lnf_ref[0, 1:2, :], ln_eps)
+        logits = _matmul(hf, wte_t_ref[...])[0:1] + vocab_mask  # (1, Vpad)
+
+        if greedy:
+            scored = logits
+        else:
+            # Gumbel-max sampling.
+            bits = pltpu.prng_random_bits((1, vocab_pad))
+            # uint32 -> f32 isn't lowerable; shift to 23 bits (sign-safe) and
+            # go through int32.
+            mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
+            uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
+            gumbel = -jnp.log(-jnp.log(uniform))
+            scored = logits / temperature + gumbel
+
+        next_token = jnp.argmax(scored, axis=1)[0].astype(jnp.int32)
+        tokens_ref[:] = jnp.where(step_rows == i, next_token, tokens_ref[:])
+        token_scratch[0] = next_token
+        return 0
+
+    token_scratch[0] = token0_ref[0]
+    jax.lax.fori_loop(0, num_steps, step, 0, unroll=False)
+
+
+def _stack(arrs, dtype):
+    return jnp.stack([jnp.asarray(a, dtype) for a in arrs])
+
+
+def pack_weights(params, config, dtype=jnp.bfloat16):
+    """Flax param tree -> the stacked tensors the kernel consumes."""
+    E = config.embed_dim
+    vocab_pad = _round_up(config.vocab_size, 256)
+
+    wte = jnp.asarray(params["wte"], dtype)
+    wte_pad = jnp.pad(wte, ((0, vocab_pad - wte.shape[0]), (0, 0)))
+    wpe = jnp.asarray(params["wpe"], dtype)
+
+    layers = [params[f"h_{i + 1}"] for i in range(config.num_layers)]
+
+    def ln_pair(block, name):
+        return jnp.stack(
+            [jnp.asarray(block[name]["scale"], jnp.float32),
+             jnp.asarray(block[name]["bias"], jnp.float32)]
+        )
+
+    packed = {
+        "wte": wte_pad,
+        "wte_t": wte_pad.T.copy(),  # (E, Vpad) for the logits matmul
+        "wpe": wpe,
+        "ln1": jnp.stack([ln_pair(b, "ln_1") for b in layers]),  # (L, 2, E)
+        "qkv_w": _stack([b["attn"]["c_attn"]["kernel"] for b in layers], dtype),
+        "qkv_b": _stack([b["attn"]["c_attn"]["bias"] for b in layers], jnp.float32)[:, None, :],
+        "proj_w": _stack([b["attn"]["c_proj"]["kernel"] for b in layers], dtype),
+        "proj_b": _stack([b["attn"]["c_proj"]["bias"] for b in layers], jnp.float32)[:, None, :],
+        "ln2": jnp.stack([ln_pair(b, "ln_2") for b in layers]),
+        "fc_w": _stack([b["mlp"]["c_fc"]["kernel"] for b in layers], dtype),
+        "fc_b": _stack([b["mlp"]["c_fc"]["bias"] for b in layers], jnp.float32)[:, None, :],
+        "fp_w": _stack([b["mlp"]["c_proj"]["kernel"] for b in layers], dtype),
+        "fp_b": _stack([b["mlp"]["c_proj"]["bias"] for b in layers], jnp.float32)[:, None, :],
+        "lnf": jnp.stack([ln_pair(params, "ln_f")])[0][None],  # (1, 2, E)
+    }
+    return packed
+
+
+def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
+    """(B=1, H, C, D) layer caches -> (L, Cpad, H*D) row-major layout."""
+    rows = []
+    for layer in cache["layers"]:
+        for name in ("k", "v"):
+            buf = jnp.asarray(layer[name], dtype)[0]  # (H, C, D)
+            buf = buf.transpose(1, 0, 2).reshape(buf.shape[1], -1)  # (C, E)
+            if buf.shape[0] < cache_len:
+                buf = jnp.pad(buf, ((0, cache_len - buf.shape[0]), (0, 0)))
+            rows.append(buf[:cache_len])
+    k_rows = jnp.stack(rows[0::2])
+    v_rows = jnp.stack(rows[1::2])
+    return k_rows, v_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "num_steps", "cache_len", "interpret", "greedy"),
+)
+def _megakernel_decode_impl(
+    packed, k_rows, v_rows, start_pos, token0, seed, temperature,
+    *, config, num_steps: int, cache_len: int, interpret: bool, greedy: bool,
+):
+    E = config.embed_dim
+    vocab_pad = packed["wte"].shape[0]
+
+    kernel = functools.partial(
+        _decode_kernel,
+        greedy=greedy,
+        num_layers=config.num_layers,
+        num_heads=config.num_heads,
+        head_dim=config.head_dim,
+        embed_dim=E,
+        cache_len=cache_len,
+        window=config.window_size,
+        vocab_pad=vocab_pad,
+        vocab_size=config.vocab_size,
+        num_steps=num_steps,
+        ln_eps=config.layer_norm_epsilon,
+        scale_attention=config.scale_attention,
+    )
+
+    scalars = (
+        jnp.asarray([start_pos], jnp.int32),
+        jnp.asarray([token0], jnp.int32),
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([temperature], jnp.float32),
+    )
+    tensor_inputs = (
+        packed["wte"], packed["wte_t"], packed["wpe"],
+        packed["ln1"], packed["qkv_w"], packed["qkv_b"],
+        packed["proj_w"], packed["proj_b"],
+        packed["ln2"], packed["fc_w"], packed["fc_b"],
+        packed["fp_w"], packed["fp_b"], packed["lnf"],
+        k_rows, v_rows,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((config.num_layers, cache_len, E), k_rows.dtype),
+            pltpu.VMEM((config.num_layers, cache_len, E), v_rows.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    tokens = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_steps, 1), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*scalars, *tensor_inputs)
+
+    return tokens[:, 0]
+
+
+def megakernel_decode(
+    packed, k_rows, v_rows, start_pos, token0, seed, temperature,
+    *, config, num_steps: int, cache_len: int, interpret: bool = False,
+):
+    """Runs ``num_steps`` of single-token decoding entirely in one kernel.
+
+    Returns the sampled tokens, shape (num_steps,) int32. ``temperature <= 0``
+    selects greedy argmax decoding (and statically removes the PRNG ops,
+    which the CPU interpreter cannot execute).
+    """
+    greedy = float(temperature) <= 0.0
+    return _megakernel_decode_impl(
+        packed, k_rows, v_rows, start_pos, token0, seed, temperature,
+        config=config, num_steps=num_steps, cache_len=cache_len,
+        interpret=interpret, greedy=greedy,
+    )

@@ -77,6 +77,85 @@ def _rnn_generate(model, variables, prompt, rng, length: int, temperature: float
     return jnp.concatenate([tokens.transpose(1, 0), last[:, None]], axis=1)
 
 
+def _use_megakernel(model, model_type, batch: int, engine: str) -> bool:
+    if engine == "xla":
+        return False
+    if model_type != ModelType.TRANSFORMER or batch != 1:
+        return False
+    if model.config.use_relative_attention:
+        return False  # not implemented in the fused kernel yet
+    if engine == "megakernel":
+        return True
+    # auto: the fused kernel needs a real TPU (interpret mode is far slower
+    # than the XLA scan on CPU).
+    return jax.default_backend() == "tpu"
+
+
+class TransformerDecoder:
+    """A serving engine: packs weights once, then each ``generate`` call is
+    prefill + one fused decode kernel."""
+
+    def __init__(self, model, params, dtype=jnp.bfloat16):
+        from composer_tpu.models.transformer import init_cache
+        from composer_tpu.ops import decode_kernel
+
+        self.model = model
+        self.config = model.config
+        self.params = params
+        self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
+
+        def prepare(params, prompt, rng, temperature, cache_len):
+            # One compiled program: prefill, first-token sample, and the
+            # cache-layout transform (per-op dispatch over the device link is
+            # milliseconds each; this keeps generate at two dispatches total).
+            cache = init_cache(model.config, 1, cache_len)
+            logits, cache = model.apply({"params": params}, prompt, cache)
+            first = sample_logits(rng, logits[:, -1], temperature)
+            k_rows, v_rows = decode_kernel.cache_to_rows(cache, model.config, cache_len)
+            return first, k_rows, v_rows
+
+        # temperature static: 0.0 selects the argmax branch inside
+        # sample_logits; recompiles only when the temperature value changes.
+        self._prepare = jax.jit(prepare, static_argnames=("temperature", "cache_len"))
+
+    def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None):
+        from composer_tpu.ops import decode_kernel
+
+        prompt = jnp.asarray(prompt, jnp.int32)
+        if prompt.ndim == 1:
+            prompt = prompt[None]
+        if cache_len is None:
+            cache_len = max(prompt.shape[1] + length, 128)
+
+        first, k_rows, v_rows = self._prepare(
+            self.params, prompt, jax.random.PRNGKey(seed),
+            float(temperature), cache_len,
+        )
+        tokens = decode_kernel.megakernel_decode(
+            self.packed, k_rows, v_rows,
+            start_pos=prompt.shape[1], token0=first[0], seed=seed,
+            temperature=float(temperature),
+            config=self.config, num_steps=length - 1, cache_len=cache_len,
+        )
+        return jnp.concatenate([first[:, None], tokens[None, :]], axis=1)
+
+
+_ENGINE_CACHE = {}
+
+
+def _megakernel_generate(model, params, prompt, length, temperature, seed, cache_len):
+    key = (id(model), id(params))
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = TransformerDecoder(model, params)
+        _ENGINE_CACHE.clear()  # keep at most one packed engine alive
+        _ENGINE_CACHE[key] = engine
+    return engine.generate(
+        prompt, length, temperature=temperature, seed=seed,
+        cache_len=max(cache_len, 128),
+    )
+
+
 def generate_ids(
     model,
     model_type: ModelType,
@@ -86,11 +165,15 @@ def generate_ids(
     temperature: float = 1.0,
     seed: int = 0,
     cache_len: Optional[int] = None,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Generates ``length`` new event ids after ``prompt_ids``.
 
     prompt_ids: int array [batch, prompt_len] (or [prompt_len]).
     Returns [batch, prompt_len + length] including the prompt.
+
+    ``engine``: 'auto' (fused single-kernel decode on TPU for batch-1
+    transformers, XLA scan otherwise), 'megakernel', or 'xla'.
     """
     prompt = jnp.asarray(prompt_ids, dtype=jnp.int32)
     squeeze = prompt.ndim == 1
@@ -101,10 +184,16 @@ def generate_ids(
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        generated = _transformer_generate(
-            model, params_or_variables, prompt, rng, length, cache_len,
-            float(temperature),
-        )
+        if _use_megakernel(model, model_type, prompt.shape[0], engine):
+            generated = _megakernel_generate(
+                model, params_or_variables, prompt, length,
+                temperature, seed, cache_len,
+            )
+        else:
+            generated = _transformer_generate(
+                model, params_or_variables, prompt, rng, length, cache_len,
+                float(temperature),
+            )
     else:
         generated = _rnn_generate(
             model, params_or_variables, prompt, rng, length, float(temperature)
