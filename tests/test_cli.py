@@ -1,0 +1,155 @@
+"""CLI smoke tests: the full command surface on a tiny dataset/config."""
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from composer_tpu.cli import cli
+from composer_tpu.midi import Note, NoteSequence, SustainPeriod
+
+TINY_CONFIG = """
+dataset:
+    time_step_increment: 10
+    max_time_steps: 100
+    velocity_bins: 32
+    time_stretch_range: {start: 0.90, stop: 1.10}
+    pitch_shift_range: {start: -4, stop: 4}
+    trim_start: true
+music_rnn:
+    model:
+        window_size: 16
+        embedding_size: 16
+        lstm_layers_count: 1
+        lstm_layer_sizes: 16
+        lstm_dropout_probability: 0.0
+        use_batch_normalization: true
+    train: {batch_size: 2, learning_rate: 0.01}
+transformer:
+    model:
+        window_size: 16
+        embedding_size: 16
+        decoder_layers_count: 1
+        attention_head_count: 2
+        use_relative_attention: true
+        attention_dropout_rate: 0.0
+        residual_dropout_rate: 0.0
+        layer_normalization_epsilon: 0.00001
+        scale_attention: true
+        initializer_mean: 0
+        initializer_stddev: 0.02
+        use_layer_normalization: true
+    train: {batch_size: 2, learning_rate: 0.01}
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    config_path = root / "config.yml"
+    config_path.write_text(TINY_CONFIG)
+
+    raw = root / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(5)
+    for index in range(3):
+        t, notes = 0.0, []
+        for _ in range(60):
+            duration = float(rng.integers(80, 500))
+            notes.append(
+                Note(t, t + duration, int(rng.integers(40, 90)), int(rng.integers(20, 120)))
+            )
+            t += float(rng.integers(40, 250))
+        NoteSequence(notes, [SustainPeriod(0, t / 4)]).to_midi(str(raw / f"p{index}.mid"))
+    return root, config_path, raw
+
+
+def run_cli(*args):
+    runner = CliRunner()
+    result = runner.invoke(cli, [str(a) for a in args], catch_exceptions=False)
+    return result
+
+
+def test_make_config(tmp_path):
+    target = tmp_path / "my_config.yml"
+    result = run_cli("make-config", target)
+    assert result.exit_code == 0
+    assert "transformer" in target.read_text()
+
+
+def test_preprocess_and_full_workflow(workspace):
+    root, config_path, raw = workspace
+    processed = root / "processed"
+
+    result = run_cli(
+        "--seed", 9, "preprocess", "transformer", raw, processed,
+        "-c", config_path, "-w", 1, "--no-transform",
+    )
+    assert result.exit_code == 0, result.output
+    assert (processed / "metadata.json").exists()
+    assert (processed / "config.yml").exists()
+    assert list((processed / "train").glob("*.data"))
+
+    # train (2 epochs by the reference's off-by-one loop semantics -> 1 epoch)
+    logs = root / "logs"
+    result = run_cli(
+        "--seed", 9, "train", "transformer", processed,
+        "-c", config_path, "--logdir", logs, "-e", 2,
+        "--save-freq-mode", "epoch", "--no-show-progress-bar",
+        "--no-data-parallel",
+    )
+    assert result.exit_code == 0, result.output
+    logdir = next(logs.glob("transformer-*"))
+    assert (logdir / "checkpoints").exists()
+    assert (logdir / "config.yml").exists()
+
+    # evaluate
+    result = run_cli("--seed", 9, "evaluate", "transformer", processed, logdir)
+    assert result.exit_code == 0, result.output
+
+    # generate with a MIDI prompt
+    out_midi = root / "generated.mid"
+    result = run_cli(
+        "--seed", 9, "generate", "transformer", logdir, out_midi,
+        "-p", next(raw.glob("*.mid")), "--prompt-length", 4, "-l", 24,
+    )
+    assert result.exit_code == 0, result.output
+    assert out_midi.exists()
+    # Deterministic under the same seed.
+    out_midi2 = root / "generated2.mid"
+    result = run_cli(
+        "--seed", 9, "generate", "transformer", logdir, out_midi2,
+        "-p", next(raw.glob("*.mid")), "--prompt-length", 4, "-l", 24,
+    )
+    assert out_midi.read_bytes() == out_midi2.read_bytes()
+
+    # random prompt (new capability; reference raised NotImplementedError)
+    result = run_cli(
+        "--seed", 9, "generate", "transformer", logdir, root / "random.mid", "-l", 16,
+    )
+    assert result.exit_code == 0, result.output
+
+    # export + reload TFRecord
+    record = root / "train.tfrecord"
+    result = run_cli(
+        "export-dataset", "transformer", processed / "train", record, "-c", config_path
+    )
+    assert result.exit_code == 0, result.output
+    assert record.stat().st_size > 0
+
+    # summary + visualize-training
+    result = run_cli("summary", "transformer", "-c", config_path)
+    assert result.exit_code == 0 and "vocabulary size: 390" in result.output
+    result = run_cli(
+        "visualize-training", "transformer", processed, "-c", config_path, "--steps", 2
+    )
+    assert result.exit_code == 0 and "Step 1" in result.output
+
+
+def test_bad_model_type():
+    result = run_cli("summary", "bogus")
+    assert result.exit_code != 0
+
+
+def test_evaluate_missing_restoredir(tmp_path):
+    result = run_cli("evaluate", "transformer", tmp_path, tmp_path / "nope")
+    assert result.exit_code != 0
