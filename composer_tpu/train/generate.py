@@ -27,16 +27,9 @@ from composer_tpu.models.transformer import init_cache
 from composer_tpu.ops.sampling import sample_logits
 
 
-@partial(jax.jit, static_argnames=("model", "length", "cache_len", "temperature"))
-def _transformer_generate(
-    model, params, prompt, rng, length: int, cache_len: int, temperature: float
-):
-    batch = prompt.shape[0]
-    cache = init_cache(model.config, batch, cache_len)
-
-    logits, cache = model.apply({"params": params}, prompt, cache)
-    rng, sample_rng = jax.random.split(rng)
-    token = sample_logits(sample_rng, logits[:, -1] , temperature)
+@partial(jax.jit, static_argnames=("model", "steps", "temperature"))
+def _decode_segment(model, params, cache, token, rng, steps: int, temperature: float):
+    """Runs ``steps`` scan iterations against a fixed-size cache."""
 
     def step(carry, _):
         cache, token, rng = carry
@@ -45,14 +38,75 @@ def _transformer_generate(
         next_token = sample_logits(sample_rng, logits[:, 0], temperature)
         return (cache, next_token, rng), token
 
-    (_, last, _), tokens = jax.lax.scan(
-        step, (cache, token, rng), None, length=length - 1
+    (cache, token, rng), tokens = jax.lax.scan(
+        step, (cache, token, rng), None, length=steps
     )
-    # tokens: [length-1, batch] of the carried tokens; append the final one.
-    generated = jnp.concatenate(
-        [tokens.transpose(1, 0), last[:, None]], axis=1
-    )
-    return generated
+    return cache, token, rng, tokens.transpose(1, 0)
+
+
+@partial(jax.jit, static_argnames=("new_len",))
+def _grow_cache(cache, new_len: int):
+    """Zero-pads the cache's sequence axis (the fill index is unchanged)."""
+
+    def pad(buf):
+        extra = new_len - buf.shape[2]
+        return jnp.pad(buf, ((0, 0), (0, 0), (0, extra), (0, 0)))
+
+    return {
+        "index": cache["index"],
+        "layers": [
+            {"k": pad(layer["k"]), "v": pad(layer["v"])} for layer in cache["layers"]
+        ],
+    }
+
+
+@partial(jax.jit, static_argnames=("model", "cache_len", "temperature"))
+def _prefill(model, params, prompt, rng, cache_len: int, temperature: float):
+    cache = init_cache(model.config, prompt.shape[0], cache_len)
+    logits, cache = model.apply({"params": params}, prompt, cache)
+    token = sample_logits(rng, logits[:, -1], temperature)
+    return cache, token
+
+
+def _transformer_generate(
+    model, params, prompt, rng, length: int, cache_len: int, temperature: float
+):
+    """KV-cached scan decode with staged cache growth.
+
+    Decoding reads the whole (static-size) cache every step, so it is
+    HBM-bound at large contexts; growing the cache through power-of-two
+    stages (256, 512, ...) cuts the average read volume ~1.5x at 2048.
+    """
+    batch, prompt_len = prompt.shape
+    total = prompt_len + length
+
+    stage = 256
+    while stage < prompt_len + 1:
+        stage *= 2
+    stage = min(stage, cache_len)
+
+    rng, sample_rng = jax.random.split(rng)
+    cache, token = _prefill(model, params, prompt, sample_rng, stage, temperature)
+
+    chunks = []
+    position = prompt_len  # cache slot the next decode step writes
+    remaining = length - 1
+    while remaining > 0:
+        capacity = stage - position
+        if capacity <= 0:
+            stage = min(max(stage * 2, 256), cache_len)
+            cache = _grow_cache(cache, stage)
+            continue
+        steps = min(remaining, capacity)
+        cache, token, rng, tokens = _decode_segment(
+            model, params, cache, token, rng, steps, temperature
+        )
+        chunks.append(tokens)
+        position += steps
+        remaining -= steps
+
+    chunks.append(token[:, None])
+    return jnp.concatenate(chunks, axis=1)
 
 
 @partial(jax.jit, static_argnames=("model", "length", "temperature"))
