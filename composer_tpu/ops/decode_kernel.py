@@ -78,14 +78,15 @@ def _decode_kernel(
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     ln2_ref, fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
-    lnf_ref, kcache_ref, vcache_ref,
+    lnf_ref, rel_rows_ref, rel_init_ref, kcache_ref, vcache_ref,
     # outputs
     tokens_ref,
     # scratch
-    kbuf, vbuf, token_scratch,
+    kbuf, vbuf, rel_buf, token_scratch,
     *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
     cache_len: int, window: int, vocab_pad: int, vocab_size: int,
     num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
+    use_rel: bool,
 ):
     if not greedy:
         pltpu.prng_seed(seed_ref[0])
@@ -94,6 +95,8 @@ def _decode_kernel(
     for layer in range(num_layers):
         kbuf[layer] = kcache_ref[layer]
         vbuf[layer] = vcache_ref[layer]
+        if use_rel:
+            rel_buf[layer] = rel_init_ref[layer]
 
     # Constant masks.
     lane_group = jax.lax.broadcasted_iota(jnp.int32, (num_heads, embed_dim), 1) // head_dim
@@ -120,6 +123,7 @@ def _decode_kernel(
 
     wte_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    rel_cols = jax.lax.broadcasted_iota(jnp.int32, (1, rel_rows_ref.shape[1]), 1)
 
     def step(i, _):
         # The token travels through SMEM scratch: an argmax-derived value
@@ -171,12 +175,39 @@ def _decode_kernel(
 
             # Scores: S[h, j] = q_h . k_j via one block-diagonal matmul — the
             # replicated q rows masked per head (contraction over lanes).
-            qb = (q * rowmask).astype(kbuf.dtype)  # (H, E)
+            qb_f32 = q * rowmask  # (H, E) f32
+            qb = qb_f32.astype(kbuf.dtype)
             scores = jax.lax.dot_general(
                 qb, kbuf[layer],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (H, C)
+
+            if use_rel:
+                # Music-Transformer relative bias: rel_buf[l][j] holds the
+                # embedding row for distance (position - j); same
+                # block-diagonal contraction as the scores. Added before
+                # scaling (reference order, transformer.py:341-348). The
+                # buffer stays f32 because Mosaic's rotate is 32-bit only.
+                scores = scores + jax.lax.dot_general(
+                    qb_f32, rel_buf[layer],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # Advance the rolling buffer to position+1: shift rows down
+                # one and insert the new farthest-past row at slot 0 via a
+                # one-hot fetch (out-of-table indices yield a zero row).
+                rolled = pltpu.roll(rel_buf[layer], 1, axis=0)
+                rel_buf[layer] = rolled
+                new_index = window - 2 - position
+                row_onehot = (rel_cols == new_index).astype(rel_rows_ref.dtype)
+                new_row = jax.lax.dot_general(
+                    row_onehot, rel_rows_ref[layer],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rel_buf[layer, 0:1, :] = new_row.astype(rel_buf.dtype)
+
             scores = scores * softmax_scale
             scores = jnp.where(cache_cols <= position, scores, NEG_INF)
 
@@ -264,7 +295,31 @@ def pack_weights(params, config, dtype=jnp.bfloat16):
         "fp_b": _stack([b["mlp"]["c_proj"]["bias"] for b in layers], jnp.float32)[:, None, :],
         "lnf": jnp.stack([ln_pair(params, "ln_f")])[0][None],  # (1, 2, E)
     }
+
+    if config.use_relative_attention:
+        # Relative embeddings in cache-row layout: rel_rows[l, r, h*D+d] =
+        # E[h, r, d], so the per-head relative logits use the SAME
+        # block-diagonal contraction as the k-cache scores.
+        rel = _stack(
+            [b["attn"]["rel_embedding"] for b in layers], dtype
+        )  # (L, H, W, D)
+        packed["rel_rows"] = rel.transpose(0, 2, 1, 3).reshape(
+            config.num_layers, config.window_size, E
+        )
+    else:
+        packed["rel_rows"] = jnp.zeros((config.num_layers, 8, E), dtype)
     return packed
+
+
+def rel_init_rows(packed_rel_rows, config, cache_len: int, start_pos):
+    """Initial rolling relative buffer: row j holds the embedding for
+    distance ``start_pos - j`` (zeros outside the table)."""
+    window = config.window_size
+    offsets = window - 1 - start_pos + jnp.arange(cache_len)  # E-row per slot
+    valid = (offsets >= 0) & (offsets < packed_rel_rows.shape[1])
+    safe = jnp.clip(offsets, 0, packed_rel_rows.shape[1] - 1)
+    gathered = packed_rel_rows[:, safe, :]  # (L, C, E)
+    return jnp.where(valid[None, :, None], gathered, 0)
 
 
 def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
@@ -292,10 +347,19 @@ def _megakernel_decode_impl(
 ):
     E = config.embed_dim
     vocab_pad = packed["wte"].shape[0]
+    use_rel = config.use_relative_attention
+
+    if use_rel:
+        rel_init = rel_init_rows(
+            packed["rel_rows"], config, cache_len, start_pos
+        ).astype(jnp.float32)
+    else:
+        rel_init = jnp.zeros((config.num_layers, 8, E), jnp.float32)
 
     kernel = functools.partial(
         _decode_kernel,
         greedy=greedy,
+        use_rel=use_rel,
         num_layers=config.num_layers,
         num_heads=config.num_heads,
         head_dim=config.head_dim,
@@ -321,6 +385,7 @@ def _megakernel_decode_impl(
         packed["proj_w"], packed["proj_b"],
         packed["ln2"], packed["fc_w"], packed["fc_b"],
         packed["fp_w"], packed["fp_b"], packed["lnf"],
+        packed["rel_rows"], rel_init,
         k_rows, v_rows,
     )
 
@@ -332,6 +397,10 @@ def _megakernel_decode_impl(
         scratch_shapes=[
             pltpu.VMEM((config.num_layers, cache_len, E), k_rows.dtype),
             pltpu.VMEM((config.num_layers, cache_len, E), v_rows.dtype),
+            pltpu.VMEM(
+                (config.num_layers, cache_len if use_rel else 8, E),
+                jnp.float32,
+            ),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )

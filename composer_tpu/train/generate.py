@@ -136,8 +136,6 @@ def _use_megakernel(model, model_type, batch: int, engine: str) -> bool:
         return False
     if model_type != ModelType.TRANSFORMER or batch != 1:
         return False
-    if model.config.use_relative_attention:
-        return False  # not implemented in the fused kernel yet
     if engine == "megakernel":
         return True
     # auto: the fused kernel needs a real TPU (interpret mode is far slower

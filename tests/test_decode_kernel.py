@@ -16,11 +16,11 @@ from composer_tpu.ops import decode_kernel as dk
 from composer_tpu.train.generate import generate_ids
 
 
-@pytest.fixture(scope="module")
-def setup():
+def _setup(use_relative=False):
     config = TransformerConfig(
         vocab_size=390, embed_dim=64, window_size=64, num_layers=2,
-        num_heads=4, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        num_heads=4, use_relative_attention=use_relative,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
         initializer_stddev=0.3,  # varied logits so greedy decoding is non-trivial
         dtype=jnp.float32, param_dtype=jnp.float32,
     )
@@ -29,8 +29,14 @@ def setup():
     return config, model, params
 
 
-def test_megakernel_matches_xla_greedy(setup):
-    config, model, params = setup
+@pytest.fixture(scope="module")
+def setup():
+    return _setup()
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_megakernel_matches_xla_greedy(use_relative):
+    config, model, params = _setup(use_relative)
     prompt = np.array([[5, 100, 300, 17]], np.int32)
     steps = 12
 
