@@ -74,6 +74,9 @@ def convert_file(
 
     Returns the list of written file paths.
     """
+    from composer_tpu.midi.fast_encode import encode_events
+    from composer_tpu.midi.serialization import write_event_pairs
+
     filepath = Path(filepath)
     output_path = Path(output_path)
     sustain_period_encode_mode = _coerce_sustain_mode(sustain_period_encode_mode)
@@ -85,6 +88,15 @@ def convert_file(
     if trim_start and (note_sequence.notes or note_sequence.sustain_periods):
         note_sequence.trim_start()
 
+    # Array representation from here on: augmentation and encoding are
+    # vectorized (midi/fast_encode.py), no per-note Python objects.
+    starts = np.array([n.start for n in note_sequence.notes])
+    ends = np.array([n.end for n in note_sequence.notes])
+    pitches = np.array([n.pitch for n in note_sequence.notes], dtype=np.int64)
+    velocities = np.array([n.velocity for n in note_sequence.notes], dtype=np.int64)
+    sus_starts = np.array([p.start for p in note_sequence.sustain_periods])
+    sus_ends = np.array([p.end for p in note_sequence.sustain_periods])
+
     codec_kwargs = dict(
         time_step_increment=time_step_increment,
         max_time_steps=max_time_steps,
@@ -92,26 +104,40 @@ def convert_file(
         sustain_period_encode_mode=sustain_period_encode_mode,
     )
 
+    def write(path, starts, ends, pitches, velocities, sus_starts, sus_ends):
+        types, values = encode_events(
+            starts, ends, pitches, velocities, sus_starts, sus_ends, **codec_kwargs
+        )
+        write_event_pairs(
+            path, types, values, time_step_increment, max_time_steps, velocity_bins
+        )
+
     written = [base_path]
-    note_sequence.to_event_sequence(**codec_kwargs).to_integer_encoding().to_file(base_path)
+    write(base_path, starts, ends, pitches, velocities, sus_starts, sus_ends)
 
     if transform:
         # Deterministic per-file stream: global seed + file hash.
         entropy = int(file_id[:8], 16)
         rng = np.random.default_rng(entropy if seed is None else (seed, entropy))
 
-        transformed = []
+        variants = []
         low, high = int(pitch_shift_range[0]), int(pitch_shift_range[1])
         for pitch_shift in range(low, high + 1):
             if pitch_shift == 0:
                 continue
-            transformed.append(note_sequence.pitch_shift(pitch_shift, inplace=False))
+            variants.append(
+                (starts, ends, np.clip(pitches + pitch_shift, 0, 127), velocities,
+                 sus_starts, sus_ends)
+            )
         stretch = rng.uniform(float(time_stretch_range[0]), float(time_stretch_range[1]))
-        transformed.append(note_sequence.time_stretch(stretch, inplace=False))
+        variants.append(
+            (starts * stretch, ends * stretch, pitches, velocities,
+             sus_starts * stretch, sus_ends * stretch)
+        )
 
-        for index, sequence in enumerate(transformed):
+        for index, variant in enumerate(variants):
             destination = base_path.parent / f"{base_path.stem}-{index:02d}{base_path.suffix}"
-            sequence.to_event_sequence(**codec_kwargs).to_integer_encoding().to_file(destination)
+            write(destination, *variant)
             written.append(destination)
 
     return written

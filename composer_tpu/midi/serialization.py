@@ -335,6 +335,18 @@ class OneHotEncodedEventSequence:
         )
 
 
+def write_event_pairs(filepath, types, values, time_step_increment, max_time_steps, velocity_bins):
+    """Writes (type, value) arrays straight to the ``.data`` format (the
+    zero-object fast path used by preprocessing)."""
+    header = _TYPE_ID_STRUCT.pack(INTEGER_ENCODING_TYPE_ID) + _INT_HEADER_STRUCT.pack(
+        time_step_increment, max_time_steps, velocity_bins
+    )
+    pairs = np.empty((len(types), 2), dtype="<i2")
+    pairs[:, 0] = types
+    pairs[:, 1] = values
+    Path(filepath).write_bytes(header + pairs.tobytes())
+
+
 _ENCODERS = {
     INTEGER_ENCODING_TYPE_ID: IntegerEncodedEventSequence,
     ONE_HOT_ENCODING_TYPE_ID: OneHotEncodedEventSequence,
