@@ -1,4 +1,5 @@
-"""Benchmark harness.
+"""Benchmark harness. ``python -m composer_tpu.bench`` runs the full table
+(BASELINE.md workloads) and writes BENCHMARKS.md.
 
 The headline metric (BASELINE.md): events/sec/chip for a 1024-event KV-cached
 decode of the default-config Transformer (vocab 390, 8 layers, 256 embed, 16
@@ -67,14 +68,31 @@ def run_decode_benchmark(
         jax.block_until_ready(out)
         return out
 
-    run()  # compile + warm up
-    times = []
-    for _ in range(repeats):
-        start = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - start)
-    best = min(times)
+    def timed(gen_length):
+        def call():
+            out = generate_ids(
+                model, ModelType.TRANSFORMER, params, prompt,
+                length=gen_length, temperature=1.0, seed=seed,
+            )
+            return np.asarray(out)  # force host transfer: the only real sync
+
+        call()  # compile + warm up
+        times = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            call()
+            times.append(time.perf_counter() - start)
+        return min(times)
+
+    best = timed(length)
     events_per_sec = batch_size * length / best
+
+    # Marginal (on-device) rate: doubling the decode length isolates the
+    # per-token cost from the constant per-invocation dispatch latency
+    # (~24 ms through this environment's remote-device tunnel; measured as
+    # the cost of a trivial 1-op program).
+    double = timed(2 * length)
+    marginal = batch_size * length / max(double - best, 1e-9)
 
     return {
         "metric": "decode_events_per_sec",
@@ -88,6 +106,7 @@ def run_decode_benchmark(
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
             "seconds": round(best, 4),
+            "on_device_events_per_sec_marginal": round(marginal, 1),
         },
     }
 
@@ -239,3 +258,67 @@ def run_train_benchmark(
             "backend": jax.default_backend(),
         },
     }
+
+
+def run_all(write_markdown=True):
+    """Runs every BASELINE.md workload; optionally writes BENCHMARKS.md."""
+    import datetime
+    import json
+    from pathlib import Path
+
+    results = []
+    for name, fn in [
+        ("decode (batch 1, 1024 events, KV-cached megakernel)", run_decode_benchmark),
+        (
+            "decode w/ relative attention",
+            lambda: run_decode_benchmark(use_relative_attention=True, length=1014),
+        ),
+        (
+            "batched decode (batch 64 x 2048, staged-cache scan)",
+            lambda: run_batched_decode_benchmark(),
+        ),
+        ("preprocess (MIDI -> .data, full augmentation)", run_preprocess_benchmark),
+        (
+            "train step (relative attention, 2048 ctx, remat)",
+            lambda: run_train_benchmark(batch_size=4, window_size=2048),
+        ),
+    ]:
+        try:
+            result = fn()
+        except Exception as error:  # record, keep going
+            result = {"metric": name, "error": str(error)[:200]}
+        result["workload"] = name
+        results.append(result)
+        print(json.dumps(result))
+
+    if write_markdown:
+        lines = [
+            "# Benchmarks",
+            "",
+            f"Measured {datetime.datetime.now():%Y-%m-%d %H:%M} on "
+            f"`{jax.default_backend()}` ({jax.devices()[0].device_kind}). "
+            "The reference publishes no numbers (BASELINE.md); the north-star "
+            "target is 50k decode events/sec/chip.",
+            "",
+            "| Workload | Metric | Value | Detail |",
+            "|---|---|---|---|",
+        ]
+        for result in results:
+            if "error" in result:
+                lines.append(f"| {result['workload']} | — | error | {result['error']} |")
+                continue
+            detail = ", ".join(
+                f"{k}={v}" for k, v in result.get("detail", {}).items()
+            )
+            lines.append(
+                f"| {result['workload']} | {result['metric']} | "
+                f"**{result['value']} {result['unit']}** | {detail} |"
+            )
+        Path(__file__).resolve().parent.parent.joinpath("BENCHMARKS.md").write_text(
+            "\n".join(lines) + "\n"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    run_all()

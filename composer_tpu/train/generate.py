@@ -156,40 +156,40 @@ class TransformerDecoder:
         self.params = params
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
-        def prepare(params, prompt, rng, temperature, cache_len):
-            # One compiled program: prefill, first-token sample, and the
-            # cache-layout transform (per-op dispatch over the device link is
-            # milliseconds each; this keeps generate at two dispatches total).
+        def pipeline(params, packed, prompt, rng, seed, temperature, cache_len, length):
+            # ONE compiled program per generate call: prefill, first-token
+            # sample, cache-layout transform, and the fused decode kernel
+            # (per-dispatch latency over the device link is ~24 ms here, so
+            # dispatch count dominates wall time for short generations).
             cache = init_cache(model.config, 1, cache_len)
             logits, cache = model.apply({"params": params}, prompt, cache)
             first = sample_logits(rng, logits[:, -1], temperature)
             k_rows, v_rows = decode_kernel.cache_to_rows(cache, model.config, cache_len)
-            return first, k_rows, v_rows
+            tokens = decode_kernel.megakernel_decode(
+                packed, k_rows, v_rows,
+                start_pos=prompt.shape[1], token0=first[0], seed=seed,
+                temperature=temperature,
+                config=model.config, num_steps=length - 1, cache_len=cache_len,
+            )
+            return jnp.concatenate([first[:, None], tokens[None, :]], axis=1)
 
-        # temperature static: 0.0 selects the argmax branch inside
-        # sample_logits; recompiles only when the temperature value changes.
-        self._prepare = jax.jit(prepare, static_argnames=("temperature", "cache_len"))
+        # temperature static: 0.0 selects the argmax branches; recompiles
+        # only when the temperature value changes.
+        self._pipeline = jax.jit(
+            pipeline, static_argnames=("temperature", "cache_len", "length")
+        )
 
     def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None):
-        from composer_tpu.ops import decode_kernel
-
         prompt = jnp.asarray(prompt, jnp.int32)
         if prompt.ndim == 1:
             prompt = prompt[None]
         if cache_len is None:
             cache_len = max(prompt.shape[1] + length, 128)
 
-        first, k_rows, v_rows = self._prepare(
-            self.params, prompt, jax.random.PRNGKey(seed),
-            float(temperature), cache_len,
+        return self._pipeline(
+            self.params, self.packed, prompt, jax.random.PRNGKey(seed),
+            seed, float(temperature), cache_len, length,
         )
-        tokens = decode_kernel.megakernel_decode(
-            self.packed, k_rows, v_rows,
-            start_pos=prompt.shape[1], token0=first[0], seed=seed,
-            temperature=float(temperature),
-            config=self.config, num_steps=length - 1, cache_len=cache_len,
-        )
-        return jnp.concatenate([first[:, None], tokens[None, :]], axis=1)
 
 
 _ENGINE_CACHE = {}
