@@ -57,6 +57,10 @@ class TransformerConfig:
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas_attention: bool = False
+    # Memory-efficient differentiable attention for long-context training:
+    # scores are computed one q-chunk at a time (O(S*chunk) live memory).
+    # Incompatible with attention dropout (which must be 0 to take effect).
+    attention_chunk_size: int = 0
     remat: bool = False
 
     @property
@@ -155,18 +159,33 @@ class SelfAttention(nn.Module):
         if not deterministic and config.attention_dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        out = attention_ops.multihead_attention(
-            q,
-            k,
-            v,
-            rel_embedding=rel_embedding,
-            q_position=q_position,
-            scale=config.scale_attention,
-            mask=mask,
-            dropout_rng=dropout_rng,
-            dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
-            use_pallas=config.use_pallas_attention and deterministic,
-        )
+        if (
+            config.attention_chunk_size
+            and layer_cache is None
+            and dropout_rng is None
+            and seq % config.attention_chunk_size == 0
+            and seq > config.attention_chunk_size
+        ):
+            from composer_tpu.ops.chunked_attention import chunked_causal_attention
+
+            out = chunked_causal_attention(
+                q, k, v, rel_embedding,
+                scale=config.scale_attention,
+                chunk_size=config.attention_chunk_size,
+            )
+        else:
+            out = attention_ops.multihead_attention(
+                q,
+                k,
+                v,
+                rel_embedding=rel_embedding,
+                q_position=q_position,
+                scale=config.scale_attention,
+                mask=mask,
+                dropout_rng=dropout_rng,
+                dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
+                use_pallas=config.use_pallas_attention and deterministic,
+            )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, config.embed_dim)
         out = nn.Dense(

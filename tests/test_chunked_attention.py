@@ -1,0 +1,54 @@
+"""Chunked attention equals full attention, forward AND backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composer_tpu.ops import attention as full_attention
+from composer_tpu.ops.chunked_attention import chunked_causal_attention
+
+
+@pytest.mark.parametrize("use_rel", [False, True])
+def test_chunked_matches_full_forward(use_rel):
+    B, H, S, D, W = 2, 3, 256, 8, 384
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(keys[0], (B, H, S, D))
+    k = jax.random.normal(keys[1], (B, H, S, D))
+    v = jax.random.normal(keys[2], (B, H, S, D))
+    E = jax.random.normal(keys[3], (H, W, D)) if use_rel else None
+
+    full = full_attention.multihead_attention(q, k, v, rel_embedding=E, scale=True)
+    chunked = chunked_causal_attention(q, k, v, E, scale=True, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_rel", [False, True])
+def test_chunked_matches_full_gradient(use_rel):
+    B, H, S, D, W = 1, 2, 128, 8, 256
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(keys[0], (B, H, S, D))
+    k = jax.random.normal(keys[1], (B, H, S, D))
+    v = jax.random.normal(keys[2], (B, H, S, D))
+    E = jax.random.normal(keys[3], (H, W, D)) if use_rel else None
+
+    def loss_full(q, k, v, E):
+        out = full_attention.multihead_attention(q, k, v, rel_embedding=E, scale=True)
+        return jnp.sum(out ** 2)
+
+    def loss_chunked(q, k, v, E):
+        out = chunked_causal_attention(q, k, v, E, scale=True, chunk_size=32)
+        return jnp.sum(out ** 2)
+
+    args = (q, k, v, E) if use_rel else (q, k, v, None)
+    argnums = (0, 1, 2, 3) if use_rel else (0, 1, 2)
+    grads_full = jax.grad(loss_full, argnums=argnums)(*args)
+    grads_chunked = jax.grad(loss_chunked, argnums=argnums)(*args)
+    for gf, gc in zip(grads_full, grads_chunked):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gf), rtol=5e-5, atol=5e-5)
+
+
+def test_chunked_rejects_bad_sizes():
+    q = jnp.zeros((1, 1, 100, 8))
+    with pytest.raises(ValueError):
+        chunked_causal_attention(q, q, q, chunk_size=64)
