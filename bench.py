@@ -7,8 +7,15 @@ publishes no numbers; BASELINE.md).
 """
 
 import json
+import os
 import sys
 from pathlib import Path
+
+# Persistent XLA compile cache: the fused decode kernel takes minutes to
+# compile through this environment's remote compile service, seconds to load
+# from cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 sys.path.insert(0, str(Path(__file__).parent))
 

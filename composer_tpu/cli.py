@@ -121,6 +121,8 @@ def get_dataset(
             seed=get_seed(),
             num_workers=num_workers,
             show_progress_bar=show_progress_bar,
+            # Evaluation sets may be smaller than one training batch.
+            clamp_batch=(mode == "test"),
         )
 
     if not dataset_path.is_file() or dataset_path.suffix != ".tfrecord":
@@ -433,8 +435,8 @@ def evaluate(model_type, dataset_path, restoredir, max_files):
     )
     metrics = trainer.evaluate(dataset, state)
     logging.info(
-        "- Finished evaluating model. Loss: %.4f, Accuracy: %.4f",
-        metrics["loss"], metrics["accuracy"],
+        "- Finished evaluating model. Loss: %.4f, Accuracy: %.4f, Perplexity: %.2f",
+        metrics["loss"], metrics["accuracy"], metrics["perplexity"],
     )
 
 

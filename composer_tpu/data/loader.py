@@ -68,6 +68,7 @@ class WindowDataset:
         seed: int = 0,
         shard_count: int = 1,
         shard_index: int = 0,
+        clamp_batch: bool = False,
     ):
         stream = np.ascontiguousarray(token_stream, dtype=np.int32)
         stride = window_size + 1
@@ -81,6 +82,9 @@ class WindowDataset:
         if shard_count > 1:
             # Per-host sharding for the data-parallel mesh axis.
             self.windows = self.windows[shard_index::shard_count]
+        if clamp_batch and self.windows.shape[0] < batch_size:
+            # Small evaluation sets: shrink the batch rather than fail.
+            batch_size = self.windows.shape[0]
         self.batch_size = batch_size
         self.window_size = window_size
         self.shuffle = shuffle
@@ -130,6 +134,7 @@ def load_dataset(
     show_progress_bar: bool = False,
     shard_count: int = 1,
     shard_index: int = 0,
+    clamp_batch: bool = False,
 ) -> WindowDataset:
     """Loads ``.data`` files into a :class:`WindowDataset`."""
     logging.info("Loading %d .data files into memory.", len(list(filepaths)))
@@ -142,4 +147,5 @@ def load_dataset(
         seed=seed,
         shard_count=shard_count,
         shard_index=shard_index,
+        clamp_batch=clamp_batch,
     )

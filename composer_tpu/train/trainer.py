@@ -304,8 +304,13 @@ class Trainer:
             total_accuracy += float(metrics["accuracy"])
             batches += 1
         if batches == 0:
-            return {"loss": float("nan"), "accuracy": float("nan")}
-        return {"loss": total_loss / batches, "accuracy": total_accuracy / batches}
+            return {"loss": float("nan"), "accuracy": float("nan"), "perplexity": float("nan")}
+        mean_loss = total_loss / batches
+        return {
+            "loss": mean_loss,
+            "accuracy": total_accuracy / batches,
+            "perplexity": float(np.exp(mean_loss)),
+        }
 
     # ------------------------------------------------------------- restoring
     def restore(self, logdir, batch_size: int, window_size: int) -> TrainState:
