@@ -226,9 +226,12 @@ def preprocess(model_type, dataset_path, output_directory, num_workers, config_f
 @click.argument("output-path")
 @click.option("-c", "--config", "config_filepath", default=None,
               help="The path to the model configuration file. If unspecified, uses the default config.")
+@click.option("--use-generator/--no-use-generator", "use_generator", default=False,
+              help="Accepted for reference-CLI compatibility (no effect).")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
-def export_dataset(model_type, preprocessed_path, output_path, config_filepath, max_files):
+def export_dataset(model_type, preprocessed_path, output_path, config_filepath,
+                   use_generator, max_files):
     """Exports a processed dataset as a TFRecord file for fast loading."""
     from composer_tpu.data import tfrecord
 
@@ -356,6 +359,9 @@ def _make_trainer(model_type, config, mesh=None):
 @click.option("-c", "--config", "config_filepath", default=None,
               help="The path to the model configuration file. Ignored when --restoredir is given.")
 @click.option("-e", "--epochs", default=10, help="The number of epochs to train for. Defaults to 10.")
+@click.option("--use-generator/--no-use-generator", "use_generator", default=False,
+              help="Accepted for reference-CLI compatibility; datasets are always "
+                   "loaded as packed arrays here.")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
 @click.option("--save-freq-mode", "save_frequency_mode", type=EnumType(ModelSaveFrequencyMode, False),
@@ -371,8 +377,8 @@ def _make_trainer(model_type, config, mesh=None):
 @click.option("--profile-dir", default=None, type=str,
               help="Capture a jax.profiler trace of a few steps into this directory.")
 def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
-          max_files, save_frequency_mode, save_frequency, max_checkpoints,
-          show_progress_bar, data_parallel, profile_dir):
+          use_generator, max_files, save_frequency_mode, save_frequency,
+          max_checkpoints, show_progress_bar, data_parallel, profile_dir):
     """Trains the specified model."""
     import jax
 
@@ -420,9 +426,11 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
 @click.argument("model-type", type=EnumType(ModelType, False))
 @click.argument("dataset-path")
 @click.argument("restoredir")
+@click.option("--use-generator/--no-use-generator", "use_generator", default=False,
+              help="Accepted for reference-CLI compatibility (no effect).")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
-def evaluate(model_type, dataset_path, restoredir, max_files):
+def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
     """Evaluate the specified model (mean NLL loss and accuracy)."""
     config = get_config_from_restoredir(restoredir)
     trainer = _make_trainer(model_type, config)

@@ -124,6 +124,13 @@ class WindowDataset:
         return window[:, :, :-1], window[:, :, 1:]
 
 
+def load_events(filepaths, num_workers: int = 8, show_progress_bar: bool = False) -> np.ndarray:
+    """Reference-API alias of :func:`load_event_ids` (models/__init__.py:160)."""
+    return load_event_ids(
+        filepaths, num_workers=num_workers, show_progress_bar=show_progress_bar
+    )
+
+
 def load_dataset(
     filepaths,
     batch_size: int,

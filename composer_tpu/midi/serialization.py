@@ -158,6 +158,13 @@ class IntegerEncodedEventSequence:
         yield from (int(i) for i in ids)
 
     @classmethod
+    def one_hot_from_file_as_generator(cls, filepath, as_numpy_array: bool = False, numpy_dtype=np.float32):
+        vectors, _, _, _ = cls.one_hot_from_file(
+            filepath, as_numpy_array=True, numpy_dtype=numpy_dtype
+        )
+        yield from vectors
+
+    @classmethod
     def one_hot_from_file(cls, filepath, as_numpy_array: bool = False, numpy_dtype=np.float32):
         ids, value_ranges, ranges, settings = cls.event_ids_from_file(
             filepath, as_numpy_array=True

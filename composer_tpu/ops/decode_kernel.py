@@ -96,7 +96,7 @@ def _decode_kernel(
         kbuf[layer] = kcache_ref[layer]
         vbuf[layer] = vcache_ref[layer]
         if use_rel:
-            rel_buf[layer] = rel_init_ref[layer]
+            rel_buf[layer * cache_len : (layer + 1) * cache_len] = rel_init_ref[layer]
 
     # Constant masks.
     lane_group = jax.lax.broadcasted_iota(jnp.int32, (num_heads, embed_dim), 1) // head_dim
@@ -184,29 +184,18 @@ def _decode_kernel(
             )  # (H, C)
 
             if use_rel:
-                # Music-Transformer relative bias: rel_buf[l][j] holds the
-                # embedding row for distance (position - j); same
-                # block-diagonal contraction as the scores. Added before
-                # scaling (reference order, transformer.py:341-348). The
-                # buffer stays f32 because Mosaic's rotate is 32-bit only.
+                # Music-Transformer relative bias: the rolling buffer's row j
+                # (within this layer's slab) holds the embedding row for
+                # distance (position - j); same block-diagonal contraction as
+                # the scores, added before scaling (reference order,
+                # transformer.py:341-348). The buffer stays f32 because
+                # Mosaic's rotate is 32-bit only.
                 scores = scores + jax.lax.dot_general(
-                    qb_f32, rel_buf[layer],
+                    qb_f32,
+                    rel_buf[layer * cache_len : (layer + 1) * cache_len],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                # Advance the rolling buffer to position+1: shift rows down
-                # one and insert the new farthest-past row at slot 0 via a
-                # one-hot fetch (out-of-table indices yield a zero row).
-                rolled = pltpu.roll(rel_buf[layer], 1, axis=0)
-                rel_buf[layer] = rolled
-                new_index = window - 2 - position
-                row_onehot = (rel_cols == new_index).astype(rel_rows_ref.dtype)
-                new_row = jax.lax.dot_general(
-                    row_onehot, rel_rows_ref[layer],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                rel_buf[layer, 0:1, :] = new_row.astype(rel_buf.dtype)
 
             scores = scores * softmax_scale
             scores = jnp.where(cache_cols <= position, scores, NEG_INF)
@@ -233,6 +222,25 @@ def _decode_kernel(
                 _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
             )
             h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(jnp.float32)
+
+        if use_rel:
+            # Advance every layer's rolling slab to position+1 with ONE
+            # rotate of the stacked buffer: each slab's garbage head row
+            # (spilled from the previous slab's tail) is immediately
+            # overwritten by the fresh farthest-past row, fetched one-hot
+            # (out-of-table indices yield a zero row).
+            rel_buf[:] = pltpu.roll(rel_buf[:], 1, axis=0)
+            new_index = window - 2 - position
+            row_onehot = (rel_cols == new_index).astype(rel_rows_ref.dtype)
+            for layer in range(num_layers):
+                new_row = jax.lax.dot_general(
+                    row_onehot, rel_rows_ref[layer],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rel_buf[layer * cache_len : layer * cache_len + 1, :] = (
+                    new_row.astype(rel_buf.dtype)
+                )
 
         hf = _layernorm(h, lnf_ref[0, 0:1, :], lnf_ref[0, 1:2, :], ln_eps)
         logits = _matmul(hf, wte_t_ref[...])[0:1] + vocab_mask  # (1, Vpad)
@@ -398,7 +406,7 @@ def _megakernel_decode_impl(
             pltpu.VMEM((config.num_layers, cache_len, E), k_rows.dtype),
             pltpu.VMEM((config.num_layers, cache_len, E), v_rows.dtype),
             pltpu.VMEM(
-                (config.num_layers, cache_len if use_rel else 8, E),
+                (config.num_layers * (cache_len if use_rel else 8), E),
                 jnp.float32,
             ),
             pltpu.SMEM((1,), jnp.int32),

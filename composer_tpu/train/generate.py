@@ -184,7 +184,9 @@ class TransformerDecoder:
         if prompt.ndim == 1:
             prompt = prompt[None]
         if cache_len is None:
-            cache_len = max(prompt.shape[1] + length, 128)
+            cache_len = prompt.shape[1] + length
+        # Keep cache slabs tile-aligned inside the fused kernel.
+        cache_len = max(-(-cache_len // 128) * 128, 128)
 
         return self._pipeline(
             self.params, self.packed, prompt, jax.random.PRNGKey(seed),
