@@ -18,7 +18,7 @@ Two deliberate fixes over the reference (documented divergences):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum, IntEnum, unique
 from typing import List, Optional
 

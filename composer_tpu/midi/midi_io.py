@@ -18,6 +18,7 @@ semantics:
 
 from __future__ import annotations
 
+import bisect
 import struct
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -96,9 +97,6 @@ class _TempoMap:
             self._rates.append(prev_rate)
 
     def to_seconds(self, tick: int) -> float:
-        # Segments are few; linear scan from the end is fine and branch-cheap.
-        import bisect
-
         index = bisect.bisect_right(self._ticks, tick) - 1
         return self._seconds[index] + (tick - self._ticks[index]) * self._rates[index]
 

@@ -9,7 +9,6 @@ framework works without a compiler (callers import through
 from __future__ import annotations
 
 import ctypes
-import logging
 import os
 import subprocess
 import tempfile

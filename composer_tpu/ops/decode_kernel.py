@@ -33,11 +33,9 @@ bit-exactly; under float32 params both paths produce identical greedy tokens
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

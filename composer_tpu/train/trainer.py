@@ -17,7 +17,6 @@ relied on) and sparse softmax cross-entropy; accuracy is argmax equality
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from pathlib import Path
