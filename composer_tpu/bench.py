@@ -222,11 +222,12 @@ def run_train_benchmark(
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
+    # Measured on v5e-1: batch 8 w/o remat is ~1.7x faster than remat configs
+    # and fits HBM; remat=True extends to batch 16+.
     config = TransformerConfig(
         vocab_size=390, embed_dim=256, window_size=window_size,
         num_layers=8, num_heads=16, use_relative_attention=use_relative_attention,
         attention_dropout_rate=0.0, residual_dropout_rate=0.0, dtype=dtype,
-        remat=True,
     )
     trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-3, seed=seed)
     state = trainer.init_state(batch_size, window_size)
@@ -279,8 +280,8 @@ def run_all(write_markdown=True):
         ),
         ("preprocess (MIDI -> .data, full augmentation)", run_preprocess_benchmark),
         (
-            "train step (relative attention, 2048 ctx, remat)",
-            lambda: run_train_benchmark(batch_size=4, window_size=2048),
+            "train step (relative attention, 2048 ctx)",
+            lambda: run_train_benchmark(batch_size=8, window_size=2048),
         ),
     ]:
         try:
