@@ -71,7 +71,7 @@ def _matmul(x, w):
 
 def _decode_kernel(
     # scalar prefetch (SMEM)
-    start_pos_ref, token0_ref, seed_ref, temp_ref,
+    start_pos_ref, prompt_ref, seed_ref, temp_ref,
     # tensor inputs (VMEM)
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
@@ -84,15 +84,25 @@ def _decode_kernel(
     *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
     cache_len: int, window: int, vocab_pad: int, vocab_size: int,
     num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
-    use_rel: bool,
+    use_rel: bool, has_prefill: bool,
 ):
+    prompt_len = prompt_ref.shape[0]
+    out_len = num_steps - prompt_len + 1
+
     if not greedy:
         pltpu.prng_seed(seed_ref[0])
 
-    # One-time VMEM copy of the prefilled cache (mutated locally per step).
     for layer in range(num_layers):
-        kbuf[layer] = kcache_ref[layer]
-        vbuf[layer] = vcache_ref[layer]
+        if has_prefill:
+            # One-time VMEM copy of the externally prefilled cache.
+            kbuf[layer] = kcache_ref[layer]
+            vbuf[layer] = vcache_ref[layer]
+        else:
+            # Must zero: masked softmax weights are exactly 0 for future
+            # slots, but 0 * NaN (stale scratch) would still poison the
+            # value contraction.
+            kbuf[layer] = jnp.zeros_like(kbuf[layer])
+            vbuf[layer] = jnp.zeros_like(vbuf[layer])
         if use_rel:
             rel_buf[layer * cache_len : (layer + 1) * cache_len] = rel_init_ref[layer]
 
@@ -102,7 +112,7 @@ def _decode_kernel(
     rowmask = (lane_group == head_index).astype(jnp.float32)  # (H, E)
     cache_cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, cache_len), 1)
     slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, embed_dim), 0)
-    step_rows = jax.lax.broadcasted_iota(jnp.int32, (num_steps, 1), 0)
+    step_rows = jax.lax.broadcasted_iota(jnp.int32, (out_len, 1), 0)
     vocab_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
     vocab_mask = jnp.where(vocab_cols < vocab_size, 0.0, NEG_INF)
 
@@ -256,11 +266,19 @@ def _decode_kernel(
             scored = logits / temperature + gumbel
 
         next_token = jnp.argmax(scored, axis=1)[0].astype(jnp.int32)
-        tokens_ref[:] = jnp.where(step_rows == i, next_token, tokens_ref[:])
-        token_scratch[0] = next_token
+        # Iterations 0..prompt_len-2 are teacher-forced prompt consumption;
+        # the sample at iteration prompt_len-1+k lands in output slot k.
+        tokens_ref[:] = jnp.where(
+            step_rows == i - (prompt_len - 1), next_token, tokens_ref[:]
+        )
+        token_scratch[0] = jnp.where(
+            i + 1 < prompt_len,
+            prompt_ref[jnp.minimum(i + 1, prompt_len - 1)],
+            next_token,
+        )
         return 0
 
-    token_scratch[0] = token0_ref[0]
+    token_scratch[0] = prompt_ref[0]
     jax.lax.fori_loop(0, num_steps, step, 0, unroll=False)
 
 
@@ -345,15 +363,19 @@ def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "num_steps", "cache_len", "interpret", "greedy"),
+    static_argnames=(
+        "config", "num_steps", "cache_len", "interpret", "greedy", "has_prefill",
+    ),
 )
 def _megakernel_decode_impl(
-    packed, k_rows, v_rows, start_pos, token0, seed, temperature,
+    packed, k_rows, v_rows, start_pos, prompt, seed, temperature,
     *, config, num_steps: int, cache_len: int, interpret: bool, greedy: bool,
+    has_prefill: bool,
 ):
     E = config.embed_dim
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
+    out_len = num_steps - prompt.shape[0] + 1
 
     if use_rel:
         rel_init = rel_init_rows(
@@ -366,6 +388,7 @@ def _megakernel_decode_impl(
         _decode_kernel,
         greedy=greedy,
         use_rel=use_rel,
+        has_prefill=has_prefill,
         num_layers=config.num_layers,
         num_heads=config.num_heads,
         head_dim=config.head_dim,
@@ -381,7 +404,7 @@ def _megakernel_decode_impl(
 
     scalars = (
         jnp.asarray([start_pos], jnp.int32),
-        jnp.asarray([token0], jnp.int32),
+        jnp.asarray(prompt, jnp.int32),
         jnp.asarray([seed], jnp.int32),
         jnp.asarray([temperature], jnp.float32),
     )
@@ -413,7 +436,7 @@ def _megakernel_decode_impl(
 
     tokens = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_steps, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((out_len, 1), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -436,7 +459,35 @@ def megakernel_decode(
     """
     greedy = float(temperature) <= 0.0
     return _megakernel_decode_impl(
-        packed, k_rows, v_rows, start_pos, token0, seed, temperature,
+        packed, k_rows, v_rows, start_pos,
+        jnp.reshape(jnp.asarray(token0, jnp.int32), (1,)), seed, temperature,
         config=config, num_steps=num_steps, cache_len=cache_len,
-        interpret=interpret, greedy=greedy,
+        interpret=interpret, greedy=greedy, has_prefill=True,
+    )
+
+
+def megakernel_generate(
+    packed, prompt, seed, temperature,
+    *, config, length: int, cache_len: int, interpret: bool = False,
+):
+    """Full single-kernel generation: the prompt is consumed token-by-token
+    (teacher-forced) inside the kernel, so there is no external prefill, no
+    cache transform — one device program end to end.
+
+    prompt: int array (P,). Returns (length,) sampled tokens.
+    """
+    prompt = jnp.asarray(prompt, jnp.int32).reshape(-1)
+    if prompt.shape[0] + length > cache_len:
+        raise ValueError(
+            f"prompt ({prompt.shape[0]}) + length ({length}) exceeds cache "
+            f"({cache_len})"
+        )
+    E = config.embed_dim
+    dummy = jnp.zeros((config.num_layers, 128, E), packed["wte"].dtype)
+    greedy = float(temperature) <= 0.0
+    return _megakernel_decode_impl(
+        packed, dummy, dummy, 0, prompt, seed, temperature,
+        config=config, num_steps=prompt.shape[0] + length - 1,
+        cache_len=cache_len, interpret=interpret, greedy=greedy,
+        has_prefill=False,
     )

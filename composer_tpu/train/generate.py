@@ -157,21 +157,17 @@ class TransformerDecoder:
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
         def pipeline(params, packed, prompt, rng, seed, temperature, cache_len, length):
-            # ONE compiled program per generate call: prefill, first-token
-            # sample, cache-layout transform, and the fused decode kernel
-            # (per-dispatch latency over the device link is ~24 ms here, so
-            # dispatch count dominates wall time for short generations).
-            cache = init_cache(model.config, 1, cache_len)
-            logits, cache = model.apply({"params": params}, prompt, cache)
-            first = sample_logits(rng, logits[:, -1], temperature)
-            k_rows, v_rows = decode_kernel.cache_to_rows(cache, model.config, cache_len)
-            tokens = decode_kernel.megakernel_decode(
-                packed, k_rows, v_rows,
-                start_pos=prompt.shape[1], token0=first[0], seed=seed,
-                temperature=temperature,
-                config=model.config, num_steps=length - 1, cache_len=cache_len,
+            # ONE device program per generate call: the kernel consumes the
+            # prompt teacher-forced and samples every new token itself — no
+            # external prefill or cache transform (per-dispatch latency over
+            # the device link is ~24 ms here, so dispatch count dominates
+            # wall time for short generations).
+            del params, rng  # packing already captured the weights
+            tokens = decode_kernel.megakernel_generate(
+                packed, prompt[0], seed, temperature,
+                config=model.config, length=length, cache_len=cache_len,
             )
-            return jnp.concatenate([first[:, None], tokens[None, :]], axis=1)
+            return tokens[None, :]
 
         # temperature static: 0.0 selects the argmax branches; recompiles
         # only when the temperature value changes.

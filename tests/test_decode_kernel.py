@@ -89,3 +89,24 @@ def test_cache_to_rows_layout(setup):
                 k_cache[h, p],
                 rtol=1e-6,
             )
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_full_kernel_generation_matches_xla_greedy(use_relative):
+    """The prefill-free kernel (teacher-forced prompt) equals the XLA path."""
+    config, model, params = _setup(use_relative)
+    prompt = np.array([5, 100, 300, 17], np.int32)
+    length = 12
+
+    xla_out = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompt[None],
+        length=length, temperature=0.0, seed=0, engine="xla",
+    )
+    expected = np.asarray(xla_out[0, len(prompt):])
+
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    tokens = dk.megakernel_generate(
+        packed, prompt, seed=0, temperature=0.0,
+        config=config, length=length, cache_len=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), expected)
