@@ -275,6 +275,10 @@ def run_all(write_markdown=True):
             lambda: run_decode_benchmark(use_relative_attention=True, length=1014),
         ),
         (
+            "batched decode (batch 8 x 1014, fused kernel)",
+            lambda: run_decode_benchmark(batch_size=8, length=1014),
+        ),
+        (
             "batched decode (batch 64 x 2048, staged-cache scan)",
             lambda: run_batched_decode_benchmark(),
         ),

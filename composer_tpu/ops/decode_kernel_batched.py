@@ -1,0 +1,329 @@
+"""Batched single-kernel decoding: B sequences in one fused generation loop.
+
+Extends ops/decode_kernel.py to small batches. The win: all dense matmuls are
+shared across sequences (B*16 activation rows cost the MXU the same as 16),
+so per-chip serving throughput scales nearly linearly in B until attention
+dominates.
+
+Layout:
+  activations   (B*R, E)   R = num_heads replicated rows; group s = seq s
+  KV caches     (L, B*C, E) sublane-stacked per sequence
+  scores        (B*R, B*C) one matmul; cross-sequence blocks masked off
+  rel buffer    shared (all sequences sit at the same absolute position)
+
+The prompt is consumed teacher-forced like the single-sequence kernel; every
+sequence must have the same prompt length (CLI generation pads by prompt
+truncation upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composer_tpu.ops.decode_kernel import (
+    NEG_INF,
+    _gelu_tanh,
+    _layernorm,
+    _matmul,
+    rel_init_rows,
+)
+
+
+def _batched_kernel(
+    prompt_ref, seed_ref, temp_ref,
+    wte_ref, wte_t_ref, wpe_ref,
+    ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
+    ln2_ref, fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
+    lnf_ref, rel_rows_ref, rel_init_ref,
+    tokens_ref,
+    kbuf, vbuf, rel_buf, token_scratch,
+    *, batch: int, num_layers: int, num_heads: int, head_dim: int,
+    embed_dim: int, cache_len: int, window: int, vocab_pad: int,
+    vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
+    greedy: bool, use_rel: bool,
+):
+    B, R, E, C = batch, num_heads, embed_dim, cache_len
+    prompt_len = prompt_ref.shape[1]
+    out_len = num_steps - prompt_len + 1
+
+    if not greedy:
+        pltpu.prng_seed(seed_ref[0])
+
+    for layer in range(num_layers):
+        kbuf[layer] = jnp.zeros_like(kbuf[layer])
+        vbuf[layer] = jnp.zeros_like(vbuf[layer])
+        if use_rel:
+            rel_buf[layer * C : (layer + 1) * C] = rel_init_ref[layer]
+
+    # Masks. Group of activation row r: r // R; block of cache col j: j // C.
+    rowmask_one = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) // head_dim
+        == jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+    ).astype(jnp.float32)
+    rowmask = jnp.tile(rowmask_one, (B, 1))  # (B*R, E)
+
+    score_rows = jax.lax.broadcasted_iota(jnp.int32, (B * R, B * C), 0)
+    score_cols = jax.lax.broadcasted_iota(jnp.int32, (B * R, B * C), 1)
+    same_block = (score_rows // R) == (score_cols // C)
+    col_in_block = score_cols % C  # cache position within the sequence
+
+    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (out_len, B), 0)
+    vocab_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+    vocab_mask_b = jnp.where(vocab_cols_b < vocab_size, 0.0, NEG_INF)
+    wte_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+    wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+
+    softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
+    temperature = temp_ref[0]
+
+    def expand(x_small):  # (B, n) -> (B*R, n) replicated within groups
+        return jnp.broadcast_to(
+            x_small[:, None, :], (B, R, x_small.shape[1])
+        ).reshape(B * R, x_small.shape[1])
+
+    def collapse(x_wide):  # (B*R, n) masked-sum within groups -> (B, n)
+        return jnp.sum((x_wide * rowmask).reshape(B, R, E), axis=1)
+
+    def step(i, _):
+        position = i
+
+        # Per-sequence token one-hots from SMEM scalars (row-by-row: packing
+        # SMEM reads into a vector is not reliably lowerable).
+        tok_onehot = jnp.concatenate(
+            [
+                (wte_cols_b[0:1] == token_scratch[s]).astype(wte_ref.dtype)
+                for s in range(B)
+            ],
+            axis=0,
+        )  # (B, Vpad)
+        tok_embed = jax.lax.dot_general(
+            tok_onehot, wte_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, E)
+        pos_onehot = (wpe_cols == jnp.minimum(position, window - 1)).astype(
+            wpe_ref.dtype
+        )
+        pos_embed = jax.lax.dot_general(
+            pos_onehot, wpe_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, E)
+        h = expand(tok_embed + pos_embed)  # (B*R, E)
+
+        for layer in range(num_layers):
+            x1 = _layernorm(h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps)
+            qkv = _matmul(x1, qkv_w_ref[layer]) + qkv_b_ref[layer].astype(jnp.float32)
+            q = qkv[:, :E]
+            k_small = collapse(qkv[:, E : 2 * E])  # (B, E) one row per seq
+            v_small = collapse(qkv[:, 2 * E :])
+
+            # Append each sequence's k/v at row s*C + position.
+            slab = pl.multiple_of((position // 128) * 128, 128)
+            row_hit = slab_rows == (position - slab)
+            for s in range(B):
+                base = s * C
+                k_slab = kbuf[layer, pl.ds(base + slab, 128), :]
+                kbuf[layer, pl.ds(base + slab, 128), :] = jnp.where(
+                    row_hit,
+                    jnp.broadcast_to(k_small[s : s + 1], (128, E)),
+                    k_slab,
+                ).astype(kbuf.dtype)
+                v_slab = vbuf[layer, pl.ds(base + slab, 128), :]
+                vbuf[layer, pl.ds(base + slab, 128), :] = jnp.where(
+                    row_hit,
+                    jnp.broadcast_to(v_small[s : s + 1], (128, E)),
+                    v_slab,
+                ).astype(vbuf.dtype)
+
+            qb_f32 = q * rowmask  # (B*R, E)
+            qb = qb_f32.astype(kbuf.dtype)
+            scores = jax.lax.dot_general(
+                qb, kbuf[layer],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, B*C)
+
+            if use_rel:
+                rel = jax.lax.dot_general(
+                    qb_f32, rel_buf[layer * C : (layer + 1) * C],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (B*R, C)
+                scores = scores + jnp.tile(rel, (1, B)) * same_block
+
+            scores = scores * softmax_scale
+            valid = same_block & (col_in_block <= position)
+            scores = jnp.where(valid, scores, NEG_INF)
+
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            w = p / jnp.sum(p, axis=1, keepdims=True)
+
+            mixed = jax.lax.dot_general(
+                w.astype(vbuf.dtype), vbuf[layer],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, E)
+            attn = expand(collapse(mixed))
+            attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(
+                jnp.float32
+            )
+            x2 = x1 + attn
+
+            mm = _layernorm(x2, ln2_ref[layer, 0:1, :], ln2_ref[layer, 1:2, :], ln_eps)
+            hidden = _gelu_tanh(
+                _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
+            )
+            h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(
+                jnp.float32
+            )
+
+        if use_rel:
+            rel_buf[:] = pltpu.roll(rel_buf[:], 1, axis=0)
+            new_index = window - 2 - position
+            row_onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, rel_rows_ref.shape[1]), 1)
+                == new_index
+            ).astype(rel_rows_ref.dtype)
+            for layer in range(num_layers):
+                new_row = jax.lax.dot_general(
+                    row_onehot, rel_rows_ref[layer],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rel_buf[layer * C : layer * C + 1, :] = new_row.astype(rel_buf.dtype)
+
+        hf = _layernorm(h, lnf_ref[0, 0:1, :], lnf_ref[0, 1:2, :], ln_eps)
+        logits_wide = _matmul(hf, wte_t_ref[...])  # (B*R, Vpad)
+        logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + vocab_mask_b
+
+        if greedy:
+            scored = logits
+        else:
+            bits = pltpu.prng_random_bits((B, vocab_pad))
+            mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
+            uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
+            scored = logits / temperature + (-jnp.log(-jnp.log(uniform)))
+
+        next_tokens = jnp.argmax(scored, axis=1).astype(jnp.int32)  # (B,)
+        tokens_ref[:] = jnp.where(
+            out_rows == i - (prompt_len - 1),
+            jnp.broadcast_to(next_tokens[None, :], (out_len, B)),
+            tokens_ref[:],
+        )
+        for s in range(B):
+            token_scratch[s] = jnp.where(
+                i + 1 < prompt_len,
+                prompt_ref[s, jnp.minimum(i + 1, prompt_len - 1)],
+                next_tokens[s],
+            )
+        return 0
+
+    for s in range(B):
+        token_scratch[s] = prompt_ref[s, 0]
+    jax.lax.fori_loop(0, num_steps, step, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "length", "cache_len", "interpret", "greedy"),
+)
+def _batched_impl(
+    packed, prompts, seed, temperature,
+    *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
+):
+    E = config.embed_dim
+    batch, prompt_len = prompts.shape
+    vocab_pad = packed["wte"].shape[0]
+    use_rel = config.use_relative_attention
+    num_steps = prompt_len + length - 1
+
+    if use_rel:
+        rel_init = rel_init_rows(packed["rel_rows"], config, cache_len, 0).astype(
+            jnp.float32
+        )
+    else:
+        rel_init = jnp.zeros((config.num_layers, 8, E), jnp.float32)
+
+    kernel = functools.partial(
+        _batched_kernel,
+        batch=batch,
+        num_layers=config.num_layers,
+        num_heads=config.num_heads,
+        head_dim=config.head_dim,
+        embed_dim=E,
+        cache_len=cache_len,
+        window=config.window_size,
+        vocab_pad=vocab_pad,
+        vocab_size=config.vocab_size,
+        num_steps=num_steps,
+        ln_eps=config.layer_norm_epsilon,
+        scale_attention=config.scale_attention,
+        greedy=greedy,
+        use_rel=use_rel,
+    )
+
+    scalars = (
+        jnp.asarray(prompts, jnp.int32),
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([temperature], jnp.float32),
+    )
+    tensor_inputs = (
+        packed["wte"], packed["wte_t"], packed["wpe"],
+        packed["ln1"], packed["qkv_w"], packed["qkv_b"],
+        packed["proj_w"], packed["proj_b"],
+        packed["ln2"], packed["fc_w"], packed["fc_b"],
+        packed["fp_w"], packed["fp_b"], packed["lnf"],
+        packed["rel_rows"], rel_init,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
+            pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
+            pltpu.VMEM(
+                (config.num_layers * (cache_len if use_rel else 8), E), jnp.float32
+            ),
+            pltpu.SMEM((batch,), jnp.int32),
+        ],
+    )
+
+    tokens = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((length, batch), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*scalars, *tensor_inputs)
+
+    return tokens.T  # (batch, length)
+
+
+def megakernel_generate_batched(
+    packed, prompts, seed, temperature,
+    *, config, length: int, cache_len: int, interpret: bool = False,
+):
+    """Generates ``length`` tokens for each of B prompts in one kernel.
+
+    prompts: (B, P) int array, equal prompt lengths. Returns (B, length).
+    """
+    prompts = jnp.asarray(prompts, jnp.int32)
+    if prompts.shape[1] + length > cache_len:
+        raise ValueError("prompt + length exceeds cache")
+    greedy = float(temperature) <= 0.0
+    return _batched_impl(
+        packed, prompts, seed, temperature,
+        config=config, length=length, cache_len=cache_len,
+        interpret=interpret, greedy=greedy,
+    )

@@ -131,10 +131,19 @@ def _rnn_generate(model, variables, prompt, rng, length: int, temperature: float
     return jnp.concatenate([tokens.transpose(1, 0), last[:, None]], axis=1)
 
 
-def _use_megakernel(model, model_type, batch: int, engine: str) -> bool:
+def _kernel_vmem_fits(config, batch: int, cache_len: int) -> bool:
+    # KV scratch is (L, B*C, E) bf16 x2 (+ weights ~13MB + rel buffers);
+    # keep it within ~90MB of the chip's ~120MB VMEM.
+    kv_bytes = 2 * config.num_layers * batch * cache_len * config.embed_dim * 2
+    return kv_bytes < 90 * 1024 * 1024
+
+
+def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) -> bool:
     if engine == "xla":
         return False
-    if model_type != ModelType.TRANSFORMER or batch != 1:
+    if model_type != ModelType.TRANSFORMER:
+        return False
+    if batch > 8 or not _kernel_vmem_fits(model.config, batch, cache_len):
         return False
     if engine == "megakernel":
         return True
@@ -162,12 +171,21 @@ class TransformerDecoder:
             # external prefill or cache transform (per-dispatch latency over
             # the device link is ~24 ms here, so dispatch count dominates
             # wall time for short generations).
+            from composer_tpu.ops.decode_kernel_batched import (
+                megakernel_generate_batched,
+            )
+
             del params, rng  # packing already captured the weights
-            tokens = decode_kernel.megakernel_generate(
-                packed, prompt[0], seed, temperature,
+            if prompt.shape[0] == 1:
+                tokens = decode_kernel.megakernel_generate(
+                    packed, prompt[0], seed, temperature,
+                    config=model.config, length=length, cache_len=cache_len,
+                )
+                return tokens[None, :]
+            return megakernel_generate_batched(
+                packed, prompt, seed, temperature,
                 config=model.config, length=length, cache_len=cache_len,
             )
-            return tokens[None, :]
 
         # temperature static: 0.0 selects the argmax branches; recompiles
         # only when the temperature value changes.
@@ -234,7 +252,7 @@ def generate_ids(
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        if _use_megakernel(model, model_type, prompt.shape[0], engine):
+        if _use_megakernel(model, model_type, prompt.shape[0], cache_len, engine):
             generated = _megakernel_generate(
                 model, params_or_variables, prompt, length,
                 temperature, seed, cache_len,

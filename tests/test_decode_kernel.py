@@ -110,3 +110,26 @@ def test_full_kernel_generation_matches_xla_greedy(use_relative):
         config=config, length=length, cache_len=128, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(tokens), expected)
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_batched_kernel_matches_xla_greedy(use_relative):
+    from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+    config, model, params = _setup(use_relative)
+    prompts = np.array([[5, 100, 300, 17], [9, 42, 7, 250], [1, 2, 3, 4]], np.int32)
+    length = 10
+
+    expected = np.asarray(
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts,
+            length=length, temperature=0.0, seed=0, engine="xla",
+        )
+    )[:, prompts.shape[1]:]
+
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    out = megakernel_generate_batched(
+        packed, prompts, 0, 0.0,
+        config=config, length=length, cache_len=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
