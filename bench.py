@@ -31,6 +31,13 @@ def main():
                 "value": result["value"],
                 "unit": result["unit"],
                 "vs_baseline": result["vs_baseline"],
+                # Wall time here includes a constant ~24 ms per-dispatch
+                # latency from this environment's remote-device tunnel; the
+                # marginal rate is the chip's actual decode speed (see
+                # BENCHMARKS.md for the full table incl. 79k ev/s batched).
+                "on_device_events_per_sec_marginal": result["detail"][
+                    "on_device_events_per_sec_marginal"
+                ],
             }
         )
     )

@@ -90,9 +90,12 @@ def run_decode_benchmark(
     # Marginal (on-device) rate: doubling the decode length isolates the
     # per-token cost from the constant per-invocation dispatch latency
     # (~24 ms through this environment's remote-device tunnel; measured as
-    # the cost of a trivial 1-op program).
-    double = timed(2 * length)
-    marginal = batch_size * length / max(double - best, 1e-9)
+    # the cost of a trivial 1-op program). Only meaningful when both lengths
+    # run the same engine, so restrict to the batch-1 workload.
+    marginal = None
+    if batch_size == 1:
+        double = timed(2 * length)
+        marginal = round(batch_size * length / max(double - best, 1e-9), 1)
 
     return {
         "metric": "decode_events_per_sec",
@@ -106,7 +109,7 @@ def run_decode_benchmark(
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
             "seconds": round(best, 4),
-            "on_device_events_per_sec_marginal": round(marginal, 1),
+            "on_device_events_per_sec_marginal": marginal,
         },
     }
 
