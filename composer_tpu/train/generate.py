@@ -153,11 +153,10 @@ def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) 
 
 
 class TransformerDecoder:
-    """A serving engine: packs weights once, then each ``generate`` call is
-    prefill + one fused decode kernel."""
+    """A serving engine: packs weights once; each ``generate`` call is ONE
+    fused device program (prompt consumption + sampling inside the kernel)."""
 
     def __init__(self, model, params, dtype=jnp.bfloat16):
-        from composer_tpu.models.transformer import init_cache
         from composer_tpu.ops import decode_kernel
 
         self.model = model
