@@ -153,3 +153,43 @@ def test_bad_model_type():
 def test_evaluate_missing_restoredir(tmp_path):
     result = run_cli("evaluate", "transformer", tmp_path, tmp_path / "nope")
     assert result.exit_code != 0
+
+
+def test_train_resume_from_restoredir(workspace):
+    """--restoredir continues a run: restores weights+optimizer+config and
+    advances the global step (SURVEY §5 checkpoint/resume parity)."""
+    import json
+
+    root, config_path, raw = workspace
+    processed = root / "processed"
+    logs = root / "logs_resume"
+
+    result = run_cli(
+        "--seed", 3, "train", "transformer", processed,
+        "-c", config_path, "--logdir", logs, "-e", 2,
+        "--save-freq-mode", "epoch", "--save-freq", 1,
+        "--no-show-progress-bar", "--no-data-parallel",
+    )
+    assert result.exit_code == 0, result.output
+    logdir = next(logs.glob("transformer-*"))
+    first_metrics = (logdir / "train" / "metrics.jsonl").read_text().splitlines()
+    first_steps = max(
+        json.loads(line)["step"] for line in first_metrics
+        if json.loads(line)["name"] == "loss"
+    )
+
+    result = run_cli(
+        "--seed", 3, "train", "transformer", processed,
+        "--restoredir", logdir, "-e", 3,
+        "--save-freq-mode", "epoch", "--save-freq", 1,
+        "--no-show-progress-bar", "--no-data-parallel",
+    )
+    assert result.exit_code == 0, result.output
+
+    metrics = (logdir / "train" / "metrics.jsonl").read_text().splitlines()
+    resumed_steps = max(
+        json.loads(line)["step"] for line in metrics
+        if json.loads(line)["name"] == "loss"
+    )
+    # The resumed run continued from the restored global step.
+    assert resumed_steps > first_steps
