@@ -264,6 +264,44 @@ def run_train_benchmark(
     }
 
 
+def run_rnn_train_benchmark(batch_size: int = 64, window_size: int = 200, steps: int = 5, seed: int = 0):
+    """MusicRNN training step time at the default config (BASELINE.md row 3)."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.models.music_rnn import MusicRNN, MusicRNNConfig
+    from composer_tpu.train.trainer import Trainer
+
+    config = MusicRNNConfig(vocab_size=390)
+    trainer = Trainer(MusicRNN(config), ModelType.MUSIC_RNN, 1e-3, seed=seed)
+    state = trainer.init_state(batch_size, window_size)
+    carry = trainer.init_rnn_carry(batch_size)
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, 390, (batch_size, window_size)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 390, (batch_size, window_size)), jnp.int32)
+    key = jax.random.PRNGKey(seed)
+
+    state, metrics, carry = trainer.train_step(state, x, y, key, carry)
+    np.asarray(metrics["loss"])
+    start = time.perf_counter()
+    for _ in range(steps):
+        state, metrics, carry = trainer.train_step(state, x, y, key, carry)
+    np.asarray(metrics["loss"])
+    elapsed = (time.perf_counter() - start) / steps
+
+    tokens_per_sec = batch_size * window_size / elapsed
+    return {
+        "metric": "rnn_train_step_seconds",
+        "value": round(elapsed, 4),
+        "unit": "s/step",
+        "vs_baseline": round(tokens_per_sec, 1),
+        "detail": {
+            "batch_size": batch_size, "window_size": window_size,
+            "tokens_per_sec": round(tokens_per_sec, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_all(write_markdown=True):
     """Runs every BASELINE.md workload; optionally writes BENCHMARKS.md."""
     import datetime
@@ -289,6 +327,10 @@ def run_all(write_markdown=True):
         (
             "train step (relative attention, 2048 ctx)",
             lambda: run_train_benchmark(batch_size=8, window_size=2048),
+        ),
+        (
+            "LSTM baseline train step (batch 64 x 200)",
+            run_rnn_train_benchmark,
         ),
     ]:
         try:
