@@ -12,7 +12,8 @@ Layout choices (all static shapes):
 * weights are stacked per-layer: e.g. qkv kernels as one (L, E, 3E) ref,
   indexed with static python layer indices (the layer loop is unrolled);
 * the KV cache is (L, C, E) with lane = head * head_dim + depth; appending a
-  token's k/v is one dynamic sublane store;
+  token's k/v is a masked write into the 128-aligned slab holding the
+  position (arbitrary dynamic sublane stores are not lowerable);
 * per-head attention avoids any transpose/gather:
     qb   = broadcast(q) * rowmask          (H, E)   rowmask[h, c] = c//D == h
     S    = qb . K^T                        (H, C)   one MXU op, lane softmax
@@ -21,8 +22,9 @@ Layout choices (all static shapes):
 * sampling uses the on-core PRNG (pltpu.prng_random_bits) with the Gumbel
   trick; temperature <= 0 falls back to plain argmax.
 
-Supports batch=1 decode (the latency-critical serving case; batched decode
-stays on the XLA scan path where weight reads amortize).
+This module is the batch=1 (latency-critical) path; small batches use the
+sibling ops/decode_kernel_batched.py, large batches the XLA scan where
+weight reads amortize.
 
 Numerics note: matmuls run on the MXU in bf16 with f32 accumulation, layer
 norms / softmax in f32 — matching the XLA bf16 decode path closely but not
