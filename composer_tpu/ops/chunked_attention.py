@@ -96,6 +96,13 @@ def chunked_causal_attention(
         )
         return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
+    # Remat the chunk body: without it, autodiff through the scan stacks every
+    # chunk's f32 scores as saved residuals — the full [S, S] matrix again
+    # (num_chunks x [B, H, chunk, S] exceeded HBM at 2048 ctx, batch 8).
+    # Checkpointed, the only per-chunk residual is q_chunk; scores are
+    # recomputed during the backward sweep.
+    chunk_attention = jax.checkpoint(chunk_attention)
+
     def scan_body(carry, inputs):
         chunk_index, q_chunk = inputs
         return carry, chunk_attention(chunk_index, q_chunk)

@@ -52,3 +52,17 @@ def test_chunked_rejects_bad_sizes():
     q = jnp.zeros((1, 1, 100, 8))
     with pytest.raises(ValueError):
         chunked_causal_attention(q, q, q, chunk_size=64)
+
+def test_chunked_gradient_is_rematerialized():
+    """The chunk body must stay under jax.checkpoint: without it, autodiff
+    through the scan stacks every chunk's f32 scores as saved residuals —
+    the full [S, S] matrix again — which exceeded HBM at 2048 ctx, batch 8
+    on v5e (num_chunks x [B, H, chunk, S] ~ 2 GB of 'HLO temp')."""
+    B, H, S, D = 1, 2, 128, 8
+    q = jnp.zeros((B, H, S, D))
+
+    def loss(q):
+        return jnp.sum(chunked_causal_attention(q, q, q, chunk_size=32) ** 2)
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss))(q))
+    assert "remat" in jaxpr or "checkpoint" in jaxpr
