@@ -28,7 +28,7 @@ from pathlib import Path
 import numpy as np
 
 from composer_tpu.exceptions import InvalidParameterError
-from composer_tpu.midi.events import NoteSequence, SustainPeriodEncodeMode
+from composer_tpu.midi.events import SustainPeriodEncodeMode
 from composer_tpu.utils import parallel_map
 
 OUTPUT_EXTENSION = "data"
@@ -84,18 +84,21 @@ def convert_file(
     file_id = hashlib.md5(str(filepath).encode()).hexdigest()
     base_path = output_path / f"{filepath.stem}_{file_id}.{OUTPUT_EXTENSION}"
 
-    note_sequence = NoteSequence.from_midi(filepath)
-    if trim_start and (note_sequence.notes or note_sequence.sustain_periods):
-        note_sequence.trim_start()
+    # Array representation end-to-end: the (native) SMF parser emits flat
+    # arrays, and augmentation/encoding are vectorized (midi/fast_encode.py) —
+    # no per-note Python objects anywhere in this hot path.
+    from composer_tpu.midi.midi_io import read_note_arrays
 
-    # Array representation from here on: augmentation and encoding are
-    # vectorized (midi/fast_encode.py), no per-note Python objects.
-    starts = np.array([n.start for n in note_sequence.notes])
-    ends = np.array([n.end for n in note_sequence.notes])
-    pitches = np.array([n.pitch for n in note_sequence.notes], dtype=np.int64)
-    velocities = np.array([n.velocity for n in note_sequence.notes], dtype=np.int64)
-    sus_starts = np.array([p.start for p in note_sequence.sustain_periods])
-    sus_ends = np.array([p.end for p in note_sequence.sustain_periods])
+    starts, ends, pitches, velocities, sus_starts, sus_ends = read_note_arrays(filepath)
+
+    if trim_start and (len(starts) or len(sus_starts)):
+        # NoteSequence.trim_start semantics: earliest note start (the arrays'
+        # minimum) or, with sustains, the *first listed* period's start.
+        offset = starts.min() if len(starts) else sus_starts[0]
+        if len(starts) and len(sus_starts):
+            offset = min(offset, sus_starts[0])
+        starts, ends = starts - offset, ends - offset
+        sus_starts, sus_ends = sus_starts - offset, sus_ends - offset
 
     codec_kwargs = dict(
         time_step_increment=time_step_increment,

@@ -306,45 +306,145 @@ def write_midi(midi: MidiFile, filepath) -> None:
 
 # ------------------------------------------------------- NoteSequence bridge
 
-def read_note_sequence(filepath, programs=None, ignore_drums: bool = True) -> NoteSequence:
-    """MIDI file -> NoteSequence in milliseconds (parity: sequence.py:626-680)."""
+def _parsed_arrays_from_midifile(midi: MidiFile) -> dict:
+    """MidiFile (Python parser) -> the flat array layout of the native parser."""
+    import numpy as np
+
+    program, is_drum, note_counts, control_counts = [], [], [], []
+    note_start, note_end, note_pitch, note_velocity = [], [], [], []
+    control_time, control_number, control_value = [], [], []
+    for instrument in midi.instruments:
+        program.append(instrument.program)
+        is_drum.append(1 if instrument.is_drum else 0)
+        note_counts.append(len(instrument.notes))
+        control_counts.append(len(instrument.control_changes))
+        for note in instrument.notes:
+            note_start.append(note.start)
+            note_end.append(note.end)
+            note_pitch.append(note.pitch)
+            note_velocity.append(note.velocity)
+        for control in instrument.control_changes:
+            control_time.append(control.time)
+            control_number.append(control.number)
+            control_value.append(control.value)
+    return {
+        "program": np.asarray(program, np.int32),
+        "is_drum": np.asarray(is_drum, np.int32),
+        "note_counts": np.asarray(note_counts, np.int64),
+        "control_counts": np.asarray(control_counts, np.int64),
+        "note_start": np.asarray(note_start, np.float64),
+        "note_end": np.asarray(note_end, np.float64),
+        "note_pitch": np.asarray(note_pitch, np.int32),
+        "note_velocity": np.asarray(note_velocity, np.int32),
+        "control_time": np.asarray(control_time, np.float64),
+        "control_number": np.asarray(control_number, np.int32),
+        "control_value": np.asarray(control_value, np.int32),
+    }
+
+
+def _parse_arrays(filepath) -> dict:
+    """Parses a MIDI file into flat arrays, preferring the native parser.
+
+    The C++ parser (native/fastcodec.cpp composer_midi_parse) mirrors
+    ``parse_midi`` exactly; malformed input makes it return None and the
+    Python parser runs instead, raising the usual exceptions.
+    """
+    data = Path(filepath).read_bytes()
+    try:
+        from composer_tpu.native import parse_midi_arrays
+    except Exception:  # no compiler / build failure: pure-Python fallback
+        parse_midi_arrays = None
+    if parse_midi_arrays is not None:
+        parsed = parse_midi_arrays(data)
+        if parsed is not None:
+            return parsed
+    return _parsed_arrays_from_midifile(parse_midi(data))
+
+
+def read_note_arrays(filepath, programs=None, ignore_drums: bool = True):
+    """MIDI file -> flat millisecond arrays, the preprocessing hot path.
+
+    Returns ``(starts, ends, pitches, velocities, sus_starts, sus_ends)``
+    with note arrays grouped by instrument (each group in (start, pitch)
+    order) and sustain periods paired from CC64 per instrument — exactly the
+    note/sustain multiset ``read_note_sequence`` produces, without building
+    per-note Python objects (parity: sequence.py:626-680).
+    """
+    import numpy as np
+
     filepath = Path(filepath)
     if not filepath.is_file():
         raise InvalidParameterError(
             f"Cannot create NoteSequence from '{filepath}' since it is not a file."
         )
 
-    midi = parse_midi(filepath)
-    notes = []
-    sustains: List[SustainPeriod] = []
-    for instrument in midi.instruments:
-        if ignore_drums and instrument.is_drum:
-            continue
-        if programs is not None and instrument.program not in programs:
-            continue
+    parsed = _parse_arrays(filepath)
+    note_offsets = np.concatenate([[0], np.cumsum(parsed["note_counts"])])
+    control_offsets = np.concatenate([[0], np.cumsum(parsed["control_counts"])])
 
-        for note in instrument.notes:
-            notes.append(
-                Note(note.start * 1000.0, note.end * 1000.0, note.pitch, note.velocity)
-            )
+    keep_slices = []
+    sus_starts: list = []
+    sus_ends: list = []
+    for index in range(len(parsed["program"])):
+        if ignore_drums and parsed["is_drum"][index]:
+            continue
+        if programs is not None and int(parsed["program"][index]) not in programs:
+            continue
+        keep_slices.append((int(note_offsets[index]), int(note_offsets[index + 1])))
 
-        current: Optional[SustainPeriod] = None
-        for control in instrument.control_changes:
-            if control.number != 64:
-                continue
-            time_ms = control.time * 1000.0
-            if control.value >= 64 and current is None:
-                current = SustainPeriod(time_ms, None)
-            elif control.value < 64:
-                if current is not None:
-                    current.end = time_ms
-                    sustains.append(current)
-                    current = None
-                elif sustains:
+        lo, hi = int(control_offsets[index]), int(control_offsets[index + 1])
+        numbers = parsed["control_number"][lo:hi]
+        pedal = np.flatnonzero(numbers == 64)
+        times = parsed["control_time"][lo:hi]
+        values = parsed["control_value"][lo:hi]
+        current_start = None
+        for position in pedal:
+            time_ms = times[position] * 1000.0
+            if values[position] >= 64 and current_start is None:
+                current_start = time_ms
+            elif values[position] < 64:
+                if current_start is not None:
+                    sus_starts.append(current_start)
+                    sus_ends.append(time_ms)
+                    current_start = None
+                elif sus_ends:
                     # Release without a matching press extends the previous
                     # period (sequence.py:675-678).
-                    sustains[-1].end = time_ms
+                    sus_ends[-1] = time_ms
 
+    if keep_slices:
+        starts = np.concatenate([parsed["note_start"][a:b] for a, b in keep_slices])
+        ends = np.concatenate([parsed["note_end"][a:b] for a, b in keep_slices])
+        pitches = np.concatenate([parsed["note_pitch"][a:b] for a, b in keep_slices])
+        velocities = np.concatenate(
+            [parsed["note_velocity"][a:b] for a, b in keep_slices]
+        )
+    else:
+        starts = ends = np.empty(0, np.float64)
+        pitches = velocities = np.empty(0, np.int32)
+
+    return (
+        starts * 1000.0,
+        ends * 1000.0,
+        pitches.astype(np.int64),
+        velocities.astype(np.int64),
+        np.asarray(sus_starts, np.float64),
+        np.asarray(sus_ends, np.float64),
+    )
+
+
+def read_note_sequence(filepath, programs=None, ignore_drums: bool = True) -> NoteSequence:
+    """MIDI file -> NoteSequence in milliseconds (parity: sequence.py:626-680)."""
+    starts, ends, pitches, velocities, sus_starts, sus_ends = read_note_arrays(
+        filepath, programs=programs, ignore_drums=ignore_drums
+    )
+    notes = [
+        Note(float(s), float(e), int(p), int(v))
+        for s, e, p, v in zip(starts, ends, pitches, velocities)
+    ]
+    sustains = [
+        SustainPeriod(float(s), float(e)) for s, e in zip(sus_starts, sus_ends)
+    ]
     return NoteSequence(notes, sustains)
 
 

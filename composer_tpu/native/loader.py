@@ -85,3 +85,65 @@ def encode_event_pairs(ids: np.ndarray, velocity_bins: int, max_time_steps: int)
     if status != 0:
         raise ValueError("event id outside vocabulary")
     return out
+
+
+_lib.composer_midi_parse.restype = ctypes.c_void_p
+_lib.composer_midi_parse.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64),
+]
+_lib.composer_midi_fill.restype = ctypes.c_int
+_lib.composer_midi_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+_lib.composer_midi_release.restype = None
+_lib.composer_midi_release.argtypes = [ctypes.c_void_p]
+
+
+def parse_midi_arrays(data: bytes):
+    """SMF bytes -> flattened instrument/note/control arrays (seconds).
+
+    Returns a dict of NumPy arrays grouped by instrument, or ``None`` when the
+    native parser rejects the input (malformed files fall back to the Python
+    parser so the caller raises the usual exceptions). Semantics mirror
+    ``composer_tpu.midi.midi_io.parse_midi`` exactly (differential-tested).
+    """
+    n_inst = ctypes.c_int64()
+    n_notes = ctypes.c_int64()
+    n_controls = ctypes.c_int64()
+    handle = _lib.composer_midi_parse(
+        bytes(data), len(data),
+        ctypes.byref(n_inst), ctypes.byref(n_notes), ctypes.byref(n_controls),
+    )
+    if not handle:
+        return None
+    try:
+        inst = int(n_inst.value)
+        notes = int(n_notes.value)
+        controls = int(n_controls.value)
+        out = {
+            "program": np.empty(inst, np.int32),
+            "is_drum": np.empty(inst, np.int32),
+            "note_counts": np.empty(inst, np.int64),
+            "control_counts": np.empty(inst, np.int64),
+            "note_start": np.empty(notes, np.float64),
+            "note_end": np.empty(notes, np.float64),
+            "note_pitch": np.empty(notes, np.int32),
+            "note_velocity": np.empty(notes, np.int32),
+            "control_time": np.empty(controls, np.float64),
+            "control_number": np.empty(controls, np.int32),
+            "control_value": np.empty(controls, np.int32),
+        }
+        status = _lib.composer_midi_fill(
+            handle,
+            out["program"].ctypes.data, out["is_drum"].ctypes.data,
+            out["note_counts"].ctypes.data, out["control_counts"].ctypes.data,
+            out["note_start"].ctypes.data, out["note_end"].ctypes.data,
+            out["note_pitch"].ctypes.data, out["note_velocity"].ctypes.data,
+            out["control_time"].ctypes.data, out["control_number"].ctypes.data,
+            out["control_value"].ctypes.data,
+        )
+        if status != 0:
+            return None
+        return out
+    finally:
+        _lib.composer_midi_release(handle)
