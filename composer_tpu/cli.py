@@ -593,6 +593,81 @@ def benchmark(length, batch_size, use_relative_attention):
     print(json.dumps(result))
 
 
+@cli.command()
+@click.argument("model-type", type=EnumType(ModelType, False))
+@click.argument("output-dir")
+@click.option("-c", "--config", "config_filepath", default=None,
+              help="The path to the model configuration file.")
+@click.option("--steps", default=5, help="Training steps to trace. Defaults to 5.")
+@click.option("--decode-length", default=128,
+              help="Events to decode inside the trace. Defaults to 128.")
+def profile(model_type, output_dir, config_filepath, steps, decode_length):
+    """Capture a jax.profiler trace of train steps and a decode.
+
+    Runs the model from the config on synthetic batches (no dataset needed)
+    and writes a TensorBoard-compatible trace into OUTPUT_DIR. Compilation
+    happens before the trace starts so the capture shows steady-state steps.
+    (The reference had no profiling at all, SURVEY.md §5; see also
+    ``composer train --profile-dir`` for tracing a real training run.)
+    """
+    import jax
+
+    from composer_tpu.train.generate import generate_ids
+
+    config = config_module.get(config_filepath or get_default_config())
+    trainer = _make_trainer(model_type, config)
+    batch = get_batch_size(model_type, config)
+    window = get_window_size(model_type, config)
+    state = trainer.init_state(batch, window)
+    carry = trainer.init_rnn_carry(batch)
+
+    rng = np.random.default_rng(get_seed())
+    vocab_size = trainer.model.config.vocab_size
+    x = rng.integers(0, vocab_size, (batch, window)).astype(np.int32)
+    y = rng.integers(0, vocab_size, (batch, window)).astype(np.int32)
+    prompt = rng.integers(0, vocab_size, (1, 8)).astype(np.int32)
+    import jax.numpy as jnp
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    key = jax.random.PRNGKey(get_seed())
+
+    # The jitted train step donates the parameter buffers, so the decode's
+    # view of the weights must be rebuilt from the current state each time.
+    def current_variables():
+        return (
+            state.params
+            if model_type == ModelType.TRANSFORMER
+            else {"params": state.params, **state.extra_vars}
+        )
+
+    # Compile outside the trace so the capture is steady-state.
+    state, metrics, carry = trainer.train_step(state, x, y, key, carry)
+    jax.block_until_ready(metrics["loss"])
+    np.asarray(
+        generate_ids(trainer.model, model_type, current_variables(), prompt,
+                     length=decode_length, temperature=1.0, seed=get_seed())
+    )
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(str(output_dir))
+    try:
+        for _ in range(steps):
+            state, metrics, carry = trainer.train_step(state, x, y, key, carry)
+        jax.block_until_ready(metrics["loss"])
+        with jax.profiler.TraceAnnotation("decode"):
+            np.asarray(
+                generate_ids(trainer.model, model_type, current_variables(), prompt,
+                             length=decode_length, temperature=1.0, seed=get_seed())
+            )
+    finally:
+        jax.profiler.stop_trace()
+    logging.info(
+        "Wrote a profiler trace of %d train steps + a %d-event decode to '%s'.",
+        steps, decode_length, output_dir,
+    )
+
+
 def main():
     try:
         cli()

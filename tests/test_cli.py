@@ -194,3 +194,15 @@ def test_train_resume_from_restoredir(workspace):
     )
     # The resumed run continued from the restored global step.
     assert resumed_steps > first_steps
+
+
+def test_profile_writes_trace(workspace):
+    """`composer profile` captures a jax.profiler trace with no dataset."""
+    root, config_path, _ = workspace
+    out = root / "trace"
+    result = run_cli(
+        "--seed", 1, "profile", "transformer", out, "-c", config_path,
+        "--steps", 1, "--decode-length", 8,
+    )
+    assert result.exit_code == 0, result.output
+    assert list(out.glob("plugins/profile/*/*.xplane.pb"))
