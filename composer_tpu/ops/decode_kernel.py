@@ -19,6 +19,21 @@ Layout choices (all static shapes):
     S    = qb . K^T                        (H, C)   one MXU op, lane softmax
     M    = softmax(S) . V                  (H, E)   one MXU op
     out  = sum(M * rowmask, axis=0)        (1, E)
+* the token feeds back through one SMEM scalar slot (vector-derived scalars
+  poison matmul layouts unless routed through SMEM; a loop-carried one-hot
+  vector was measured ~9 us/step slower than this hop);
+* the relative bias never materializes a per-distance cache table: each
+  layer computes the band ``qb @ E_pad^T`` (one MXU op against the weight
+  table padded with C zero rows) and aligns it to cache slots with ONE
+  dynamic lane roll — slot j needs distance (position - j), which is the
+  band's lane (window-1-position+j); out-of-table distances land in the
+  zero padding. (The previous design kept a (L*C, E) f32 rolling table and
+  rotated all 9.4 MB of it every step — that roll dominated rel decode.)
+* LayerNorm scale/bias for ln_2 and ln_f are folded into the adjacent
+  matmul weights at pack time (gamma scales the kernel rows, beta becomes
+  part of the bias), so the kernel only standardizes. ln_1 is NOT foldable:
+  the reference's residual quirk adds attention onto the ln_1 *output*
+  (transformer.py:574-597), so x1 is needed as a value.
 * sampling uses the on-core PRNG (pltpu.prng_random_bits) with the Gumbel
   trick; temperature <= 0 falls back to plain argmax.
 
@@ -56,6 +71,15 @@ def _layernorm(x, scale, bias, eps):
     return centered * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _standardize(x, eps):
+    # LayerNorm with scale/bias folded into the following matmul (pack time).
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    return centered * jax.lax.rsqrt(var + eps)
+
+
 def _gelu_tanh(x):
     # tanh-approximate GELU (reference transformer.py:35-40).
     return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
@@ -77,12 +101,12 @@ def _decode_kernel(
     # tensor inputs (VMEM)
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
-    ln2_ref, fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
-    lnf_ref, rel_rows_ref, rel_init_ref, kcache_ref, vcache_ref,
+    fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
+    logits_b_ref, rel_pad_ref, kcache_ref, vcache_ref,
     # outputs
     tokens_ref,
     # scratch
-    kbuf, vbuf, rel_buf, token_scratch,
+    kbuf, vbuf, token_scratch,
     *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
     cache_len: int, window: int, vocab_pad: int, vocab_size: int,
     num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
@@ -105,8 +129,6 @@ def _decode_kernel(
             # value contraction.
             kbuf[layer] = jnp.zeros_like(kbuf[layer])
             vbuf[layer] = jnp.zeros_like(vbuf[layer])
-        if use_rel:
-            rel_buf[layer * cache_len : (layer + 1) * cache_len] = rel_init_ref[layer]
 
     # Constant masks.
     lane_group = jax.lax.broadcasted_iota(jnp.int32, (num_heads, embed_dim), 1) // head_dim
@@ -115,8 +137,6 @@ def _decode_kernel(
     cache_cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, cache_len), 1)
     slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, embed_dim), 0)
     step_rows = jax.lax.broadcasted_iota(jnp.int32, (out_len, 1), 0)
-    vocab_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
-    vocab_mask = jnp.where(vocab_cols < vocab_size, 0.0, NEG_INF)
 
     # Activations stay replicated over R = num_heads sublane rows: Mosaic
     # rejects 1-sublane bf16 matmul operands, a 16-row operand is exactly one
@@ -124,40 +144,39 @@ def _decode_kernel(
     # double as the per-head query rows for the block-diagonal scores matmul.
     R = num_heads
 
-    def replicate(x):  # (1, n) -> (R, n)
-        return jnp.broadcast_to(x, (R, x.shape[1]))
-
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
     temperature = temp_ref[0]
     start_pos = start_pos_ref[0]
+    rel_width = rel_pad_ref.shape[1]
 
-    wte_cols = jax.lax.broadcasted_iota(jnp.int32, (1, vocab_pad), 1)
+    vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-    rel_cols = jax.lax.broadcasted_iota(jnp.int32, (1, rel_rows_ref.shape[1]), 1)
 
     def step(i, _):
         # The token travels through SMEM scratch: an argmax-derived value
         # lives in vector registers and poisons downstream matmul layouts.
+        # (A loop-carried replicated one-hot was measured ~9 us/step SLOWER
+        # than this SMEM round trip on v5e — the scalar hop is cheap.)
         token = token_scratch[0]
         position = start_pos + i
 
         # Embedding rows via one-hot matmuls: a dynamically-gathered row has a
         # layout Mosaic's matmul cannot consume, a one-hot contraction is one
         # clean MXU op.
-        tok_onehot = (wte_cols == token).astype(wte_ref.dtype)
+        tok_onehot = (vocab_cols_r == token).astype(wte_ref.dtype)
         tok_embed = jax.lax.dot_general(
             tok_onehot, wte_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (R, E)
         pos_index = jnp.minimum(position, window - 1)
         pos_onehot = (wpe_cols == pos_index).astype(wpe_ref.dtype)
         pos_embed = jax.lax.dot_general(
             pos_onehot, wpe_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        h = replicate(tok_embed + pos_embed)  # (R, E) f32
+        )  # (1, E)
+        h = tok_embed + pos_embed  # (R, E) f32
 
         for layer in range(num_layers):
             x1 = _layernorm(
@@ -194,18 +213,21 @@ def _decode_kernel(
             )  # (H, C)
 
             if use_rel:
-                # Music-Transformer relative bias: the rolling buffer's row j
-                # (within this layer's slab) holds the embedding row for
-                # distance (position - j); same block-diagonal contraction as
-                # the scores, added before scaling (reference order,
-                # transformer.py:341-348). The buffer stays f32 because
-                # Mosaic's rotate is 32-bit only.
-                scores = scores + jax.lax.dot_general(
-                    qb_f32,
-                    rel_buf[layer * cache_len : (layer + 1) * cache_len],
+                # Music-Transformer relative bias, shear-free: the band
+                # band[h, m] = q_h . E_pad[m] holds distance (window-1-m) in
+                # skew layout; cache slot j needs distance (position - j),
+                # i.e. band lane (window-1-position+j) — ONE dynamic roll
+                # left-aligns that run, and the C zero-pad rows absorb
+                # distances beyond the table (reference order: bias added
+                # before scaling, transformer.py:341-348).
+                band = jax.lax.dot_general(
+                    qb, rel_pad_ref[layer],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                )  # (H, W + C)
+                shift = jnp.mod(position + 1 - window, rel_width)
+                rolled = pltpu.roll(band, shift, axis=1)
+                scores = scores + rolled[:, :cache_len]
 
             scores = scores * softmax_scale
             scores = jnp.where(cache_cols <= position, scores, NEG_INF)
@@ -221,39 +243,22 @@ def _decode_kernel(
             )  # (H, E)
             attn = jnp.sum(mixed * rowmask, axis=0, keepdims=True)  # (1, E)
 
-            attn = replicate(attn)
-            attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(jnp.float32)
+            attn = _matmul(
+                jnp.broadcast_to(attn, (R, embed_dim)), proj_w_ref[layer]
+            ) + proj_b_ref[layer].astype(jnp.float32)
             x2 = x1 + attn
 
-            mm = _layernorm(
-                x2, ln2_ref[layer, 0:1, :], ln2_ref[layer, 1:2, :], ln_eps
-            )
+            # ln_2's scale/bias live inside fc_w/fc_b (pack-time fold).
+            mm = _standardize(x2, ln_eps)
             hidden = _gelu_tanh(
                 _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
             )
             h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(jnp.float32)
 
-        if use_rel:
-            # Advance every layer's rolling slab to position+1 with ONE
-            # rotate of the stacked buffer: each slab's garbage head row
-            # (spilled from the previous slab's tail) is immediately
-            # overwritten by the fresh farthest-past row, fetched one-hot
-            # (out-of-table indices yield a zero row).
-            rel_buf[:] = pltpu.roll(rel_buf[:], 1, axis=0)
-            new_index = window - 2 - position
-            row_onehot = (rel_cols == new_index).astype(rel_rows_ref.dtype)
-            for layer in range(num_layers):
-                new_row = jax.lax.dot_general(
-                    row_onehot, rel_rows_ref[layer],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                rel_buf[layer * cache_len : layer * cache_len + 1, :] = (
-                    new_row.astype(rel_buf.dtype)
-                )
-
-        hf = _layernorm(h, lnf_ref[0, 0:1, :], lnf_ref[0, 1:2, :], ln_eps)
-        logits = _matmul(hf, wte_t_ref[...])[0:1] + vocab_mask  # (1, Vpad)
+        # ln_f's scale lives inside wte_t; its bias (and the vocab-pad mask)
+        # arrive pre-combined as logits_b.
+        hf = _standardize(h, ln_eps)
+        logits = _matmul(hf, wte_t_ref[...])[0:1] + logits_b_ref[...]  # (1, Vpad)
 
         if greedy:
             scored = logits
@@ -289,7 +294,12 @@ def _stack(arrs, dtype):
 
 
 def pack_weights(params, config, dtype=jnp.bfloat16):
-    """Flax param tree -> the stacked tensors the kernel consumes."""
+    """Flax param tree -> the stacked tensors the kernel consumes.
+
+    ln_2 and ln_f are folded away here: for y = LN(x) @ W + b with
+    LN(x) = std(x) * gamma + beta, the kernel computes std(x) @ W' + b' with
+    W' = diag(gamma) @ W and b' = beta @ W + b.
+    """
     E = config.embed_dim
     vocab_pad = _round_up(config.vocab_size, 256)
 
@@ -305,21 +315,38 @@ def pack_weights(params, config, dtype=jnp.bfloat16):
              jnp.asarray(block[name]["bias"], jnp.float32)]
         )
 
+    def folded_fc(block):
+        gamma = jnp.asarray(block["ln_2"]["scale"], jnp.float32)
+        beta = jnp.asarray(block["ln_2"]["bias"], jnp.float32)
+        kernel = jnp.asarray(block["mlp"]["c_fc"]["kernel"], jnp.float32)
+        bias = jnp.asarray(block["mlp"]["c_fc"]["bias"], jnp.float32)
+        return (gamma[:, None] * kernel).astype(dtype), beta @ kernel + bias
+
+    fc_folded = [folded_fc(b) for b in layers]
+
+    gamma_f = jnp.asarray(params["ln_f"]["scale"], jnp.float32)
+    beta_f = jnp.asarray(params["ln_f"]["bias"], jnp.float32)
+    wte_t_f32 = jnp.pad(
+        jnp.asarray(params["wte"], jnp.float32),
+        ((0, vocab_pad - wte.shape[0]), (0, 0)),
+    ).T
+    wte_t_folded = (gamma_f[:, None] * wte_t_f32).astype(dtype)
+    logits_bias = (beta_f @ wte_t_f32)[None, :]  # (1, Vpad) f32
+
     packed = {
         "wte": wte_pad,
-        "wte_t": wte_pad.T.copy(),  # (E, Vpad) for the logits matmul
+        "wte_t": wte_t_folded,  # (E, Vpad), ln_f scale folded in
         "wpe": wpe,
         "ln1": jnp.stack([ln_pair(b, "ln_1") for b in layers]),  # (L, 2, E)
         "qkv_w": _stack([b["attn"]["c_attn"]["kernel"] for b in layers], dtype),
         "qkv_b": _stack([b["attn"]["c_attn"]["bias"] for b in layers], jnp.float32)[:, None, :],
         "proj_w": _stack([b["attn"]["c_proj"]["kernel"] for b in layers], dtype),
         "proj_b": _stack([b["attn"]["c_proj"]["bias"] for b in layers], jnp.float32)[:, None, :],
-        "ln2": jnp.stack([ln_pair(b, "ln_2") for b in layers]),
-        "fc_w": _stack([b["mlp"]["c_fc"]["kernel"] for b in layers], dtype),
-        "fc_b": _stack([b["mlp"]["c_fc"]["bias"] for b in layers], jnp.float32)[:, None, :],
+        "fc_w": jnp.stack([k for k, _ in fc_folded]),
+        "fc_b": jnp.stack([b for _, b in fc_folded])[:, None, :],
         "fp_w": _stack([b["mlp"]["c_proj"]["kernel"] for b in layers], dtype),
         "fp_b": _stack([b["mlp"]["c_proj"]["bias"] for b in layers], jnp.float32)[:, None, :],
-        "lnf": jnp.stack([ln_pair(params, "ln_f")])[0][None],  # (1, 2, E)
+        "logits_b": logits_bias,
     }
 
     if config.use_relative_attention:
@@ -335,17 +362,6 @@ def pack_weights(params, config, dtype=jnp.bfloat16):
     else:
         packed["rel_rows"] = jnp.zeros((config.num_layers, 8, E), dtype)
     return packed
-
-
-def rel_init_rows(packed_rel_rows, config, cache_len: int, start_pos):
-    """Initial rolling relative buffer: row j holds the embedding for
-    distance ``start_pos - j`` (zeros outside the table)."""
-    window = config.window_size
-    offsets = window - 1 - start_pos + jnp.arange(cache_len)  # E-row per slot
-    valid = (offsets >= 0) & (offsets < packed_rel_rows.shape[1])
-    safe = jnp.clip(offsets, 0, packed_rel_rows.shape[1] - 1)
-    gathered = packed_rel_rows[:, safe, :]  # (L, C, E)
-    return jnp.where(valid[None, :, None], gathered, 0)
 
 
 def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
@@ -380,11 +396,17 @@ def _megakernel_decode_impl(
     out_len = num_steps - prompt.shape[0] + 1
 
     if use_rel:
-        rel_init = rel_init_rows(
-            packed["rel_rows"], config, cache_len, start_pos
-        ).astype(jnp.float32)
+        # C trailing zero rows absorb out-of-table distances after the
+        # kernel's alignment roll.
+        rel_pad = jnp.pad(packed["rel_rows"], ((0, 0), (0, cache_len), (0, 0)))
     else:
-        rel_init = jnp.zeros((config.num_layers, 8, E), jnp.float32)
+        rel_pad = packed["rel_rows"]  # small dummy
+
+    # Fold the vocab-padding mask into the (ln_f-derived) logits bias.
+    mask = jnp.where(
+        jnp.arange(vocab_pad)[None, :] < config.vocab_size, 0.0, NEG_INF
+    )
+    logits_b = packed["logits_b"].astype(jnp.float32) + mask
 
     kernel = functools.partial(
         _decode_kernel,
@@ -414,9 +436,9 @@ def _megakernel_decode_impl(
         packed["wte"], packed["wte_t"], packed["wpe"],
         packed["ln1"], packed["qkv_w"], packed["qkv_b"],
         packed["proj_w"], packed["proj_b"],
-        packed["ln2"], packed["fc_w"], packed["fc_b"],
-        packed["fp_w"], packed["fp_b"], packed["lnf"],
-        packed["rel_rows"], rel_init,
+        packed["fc_w"], packed["fc_b"],
+        packed["fp_w"], packed["fp_b"],
+        logits_b, rel_pad,
         k_rows, v_rows,
     )
 
@@ -428,10 +450,6 @@ def _megakernel_decode_impl(
         scratch_shapes=[
             pltpu.VMEM((config.num_layers, cache_len, E), k_rows.dtype),
             pltpu.VMEM((config.num_layers, cache_len, E), v_rows.dtype),
-            pltpu.VMEM(
-                (config.num_layers * (cache_len if use_rel else 8), E),
-                jnp.float32,
-            ),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )

@@ -9,7 +9,11 @@ Layout:
   activations   (B*R, E)   R = num_heads replicated rows; group s = seq s
   KV caches     (L, B*C, E) sublane-stacked per sequence
   scores        (B*R, B*C) one matmul; cross-sequence blocks masked off
-  rel buffer    shared (all sequences sit at the same absolute position)
+  rel bias      per-layer band matmul + one dynamic lane roll, shared across
+                sequences (all sit at the same absolute position) — see
+                ops/decode_kernel.py for the lane algebra
+  token feedback a loop-carried replicated one-hot (B*R, Vpad); ln_2/ln_f
+                are folded into the adjacent weights at pack time
 
 The prompt is consumed teacher-forced like the single-sequence kernel; every
 sequence must have the same prompt length (CLI generation pads by prompt
@@ -30,7 +34,7 @@ from composer_tpu.ops.decode_kernel import (
     _gelu_tanh,
     _layernorm,
     _matmul,
-    rel_init_rows,
+    _standardize,
 )
 
 
@@ -38,10 +42,10 @@ def _batched_kernel(
     prompt_ref, seed_ref, temp_ref,
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
-    ln2_ref, fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
-    lnf_ref, rel_rows_ref, rel_init_ref,
+    fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
+    logits_b_ref, rel_pad_ref,
     tokens_ref,
-    kbuf, vbuf, rel_buf, token_scratch,
+    kbuf, vbuf,
     *, batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
@@ -57,8 +61,6 @@ def _batched_kernel(
     for layer in range(num_layers):
         kbuf[layer] = jnp.zeros_like(kbuf[layer])
         vbuf[layer] = jnp.zeros_like(vbuf[layer])
-        if use_rel:
-            rel_buf[layer * C : (layer + 1) * C] = rel_init_ref[layer]
 
     # Masks. Group of activation row r: r // R; block of cache col j: j // C.
     rowmask_one = (
@@ -73,14 +75,14 @@ def _batched_kernel(
     col_in_block = score_cols % C  # cache position within the sequence
 
     slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (out_len, B), 0)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
     vocab_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
-    vocab_mask_b = jnp.where(vocab_cols_b < vocab_size, 0.0, NEG_INF)
-    wte_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+    vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
     temperature = temp_ref[0]
+    rel_width = rel_pad_ref.shape[1]
 
     def expand(x_small):  # (B, n) -> (B*R, n) replicated within groups
         return jnp.broadcast_to(
@@ -90,23 +92,26 @@ def _batched_kernel(
     def collapse(x_wide):  # (B*R, n) masked-sum within groups -> (B, n)
         return jnp.sum((x_wide * rowmask).reshape(B, R, E), axis=1)
 
-    def step(i, _):
-        position = i
-
-        # Per-sequence token one-hots from SMEM scalars (row-by-row: packing
-        # SMEM reads into a vector is not reliably lowerable).
-        tok_onehot = jnp.concatenate(
+    def prompt_onehots(i):
+        # Per-sequence one-hots from SMEM scalars (row-group by row-group:
+        # packing SMEM reads into a vector is not reliably lowerable).
+        index = jnp.minimum(i, prompt_len - 1)
+        return jnp.concatenate(
             [
-                (wte_cols_b[0:1] == token_scratch[s]).astype(wte_ref.dtype)
+                (vocab_cols_r == prompt_ref[s, index]).astype(wte_ref.dtype)
                 for s in range(B)
             ],
             axis=0,
-        )  # (B, Vpad)
+        )  # (B*R, Vpad)
+
+    def step(i, onehot):
+        position = i
+
         tok_embed = jax.lax.dot_general(
-            tok_onehot, wte_ref[...],
+            onehot, wte_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (B, E)
+        )  # (B*R, E)
         pos_onehot = (wpe_cols == jnp.minimum(position, window - 1)).astype(
             wpe_ref.dtype
         )
@@ -115,7 +120,7 @@ def _batched_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (1, E)
-        h = expand(tok_embed + pos_embed)  # (B*R, E)
+        h = tok_embed + pos_embed  # (B*R, E)
 
         for layer in range(num_layers):
             x1 = _layernorm(h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps)
@@ -151,12 +156,18 @@ def _batched_kernel(
             )  # (B*R, B*C)
 
             if use_rel:
-                rel = jax.lax.dot_general(
-                    qb_f32, rel_buf[layer * C : (layer + 1) * C],
+                # Shear-free relative bias (ops/decode_kernel.py): band lane
+                # (window-1-position+j) holds distance (position-j); one
+                # dynamic roll aligns it to cache slots, zero padding absorbs
+                # out-of-table distances.
+                band = jax.lax.dot_general(
+                    qb, rel_pad_ref[layer],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (B*R, C)
-                scores = scores + jnp.tile(rel, (1, B)) * same_block
+                )  # (B*R, W + C)
+                shift = jnp.mod(position + 1 - window, rel_width)
+                rolled = pltpu.roll(band, shift, axis=1)
+                scores = scores + jnp.tile(rolled[:, :C], (1, B)) * same_block
 
             scores = scores * softmax_scale
             valid = same_block & (col_in_block <= position)
@@ -177,7 +188,8 @@ def _batched_kernel(
             )
             x2 = x1 + attn
 
-            mm = _layernorm(x2, ln2_ref[layer, 0:1, :], ln2_ref[layer, 1:2, :], ln_eps)
+            # ln_2's scale/bias live inside fc_w/fc_b (pack-time fold).
+            mm = _standardize(x2, ln_eps)
             hidden = _gelu_tanh(
                 _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
             )
@@ -185,24 +197,11 @@ def _batched_kernel(
                 jnp.float32
             )
 
-        if use_rel:
-            rel_buf[:] = pltpu.roll(rel_buf[:], 1, axis=0)
-            new_index = window - 2 - position
-            row_onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, rel_rows_ref.shape[1]), 1)
-                == new_index
-            ).astype(rel_rows_ref.dtype)
-            for layer in range(num_layers):
-                new_row = jax.lax.dot_general(
-                    row_onehot, rel_rows_ref[layer],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                rel_buf[layer * C : layer * C + 1, :] = new_row.astype(rel_buf.dtype)
-
-        hf = _layernorm(h, lnf_ref[0, 0:1, :], lnf_ref[0, 1:2, :], ln_eps)
+        # ln_f's scale lives inside wte_t; its bias + vocab-pad mask arrive
+        # pre-combined as logits_b.
+        hf = _standardize(h, ln_eps)
         logits_wide = _matmul(hf, wte_t_ref[...])  # (B*R, Vpad)
-        logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + vocab_mask_b
+        logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
 
         if greedy:
             scored = logits
@@ -212,23 +211,22 @@ def _batched_kernel(
             uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
             scored = logits / temperature + (-jnp.log(-jnp.log(uniform)))
 
-        next_tokens = jnp.argmax(scored, axis=1).astype(jnp.int32)  # (B,)
-        tokens_ref[:] = jnp.where(
-            out_rows == i - (prompt_len - 1),
-            jnp.broadcast_to(next_tokens[None, :], (out_len, B)),
-            tokens_ref[:],
-        )
-        for s in range(B):
-            token_scratch[s] = jnp.where(
-                i + 1 < prompt_len,
-                prompt_ref[s, jnp.minimum(i + 1, prompt_len - 1)],
-                next_tokens[s],
-            )
-        return 0
+        # First-max index per sequence as a (B, 1) vector (== jnp.argmax).
+        peak = jnp.max(scored, axis=1, keepdims=True)
+        next_index = jnp.min(
+            jnp.where(scored == peak, vocab_cols_b, vocab_pad), axis=1, keepdims=True
+        )  # (B, 1) int32
 
-    for s in range(B):
-        token_scratch[s] = prompt_ref[s, 0]
-    jax.lax.fori_loop(0, num_steps, step, 0, unroll=False)
+        tokens_ref[:] = jnp.where(
+            out_cols == i - (prompt_len - 1), next_index, tokens_ref[:]
+        )
+        sampled_onehot = (
+            expand(jnp.broadcast_to(next_index, (B, vocab_pad)))
+            == jax.lax.broadcasted_iota(jnp.int32, (B * R, vocab_pad), 1)
+        ).astype(onehot.dtype)
+        return jnp.where(i + 1 < prompt_len, prompt_onehots(i + 1), sampled_onehot)
+
+    jax.lax.fori_loop(0, num_steps, step, prompt_onehots(0), unroll=False)
 
 
 @functools.partial(
@@ -246,11 +244,14 @@ def _batched_impl(
     num_steps = prompt_len + length - 1
 
     if use_rel:
-        rel_init = rel_init_rows(packed["rel_rows"], config, cache_len, 0).astype(
-            jnp.float32
-        )
+        rel_pad = jnp.pad(packed["rel_rows"], ((0, 0), (0, cache_len), (0, 0)))
     else:
-        rel_init = jnp.zeros((config.num_layers, 8, E), jnp.float32)
+        rel_pad = packed["rel_rows"]  # small dummy
+
+    mask = jnp.where(
+        jnp.arange(vocab_pad)[None, :] < config.vocab_size, 0.0, NEG_INF
+    )
+    logits_b = packed["logits_b"].astype(jnp.float32) + mask
 
     kernel = functools.partial(
         _batched_kernel,
@@ -279,9 +280,9 @@ def _batched_impl(
         packed["wte"], packed["wte_t"], packed["wpe"],
         packed["ln1"], packed["qkv_w"], packed["qkv_b"],
         packed["proj_w"], packed["proj_b"],
-        packed["ln2"], packed["fc_w"], packed["fc_b"],
-        packed["fp_w"], packed["fp_b"], packed["lnf"],
-        packed["rel_rows"], rel_init,
+        packed["fc_w"], packed["fc_b"],
+        packed["fp_w"], packed["fp_b"],
+        logits_b, rel_pad,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -292,22 +293,18 @@ def _batched_impl(
         scratch_shapes=[
             pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
             pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
-            pltpu.VMEM(
-                (config.num_layers * (cache_len if use_rel else 8), E), jnp.float32
-            ),
-            pltpu.SMEM((batch,), jnp.int32),
         ],
     )
 
     tokens = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((length, batch), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((batch, num_steps - prompt_len + 1), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*scalars, *tensor_inputs)
 
-    return tokens.T  # (batch, length)
+    return tokens  # (batch, length)
 
 
 def megakernel_generate_batched(
