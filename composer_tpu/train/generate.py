@@ -138,12 +138,26 @@ def _kernel_vmem_fits(config, batch: int, cache_len: int) -> bool:
     return kv_bytes < 90 * 1024 * 1024
 
 
+def _megakernel_chunk(config, batch: int, cache_len: int) -> int:
+    """Largest per-dispatch sub-batch whose KV scratch fits VMEM (0 = none).
+
+    Large batches are served as sequential fused-kernel dispatches of this
+    size: each chunk's whole cache lives in VMEM (zero HBM traffic per step),
+    which beats the XLA scan re-reading an HBM cache every step, and
+    dispatches pipeline, so the link round-trip is paid ~once.
+    """
+    for candidate in (8, 4, 2, 1):
+        if candidate <= batch and _kernel_vmem_fits(config, candidate, cache_len):
+            return candidate
+    return 0
+
+
 def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) -> bool:
     if engine == "xla":
         return False
     if model_type != ModelType.TRANSFORMER:
         return False
-    if batch > 8 or not _kernel_vmem_fits(model.config, batch, cache_len):
+    if _megakernel_chunk(model.config, batch, cache_len) == 0:
         return False
     if engine == "megakernel":
         return True
@@ -201,10 +215,24 @@ class TransformerDecoder:
         # Keep cache slabs tile-aligned inside the fused kernel.
         cache_len = max(-(-cache_len // 128) * 128, 128)
 
-        return self._pipeline(
-            self.params, self.packed, prompt, jax.random.PRNGKey(seed),
-            seed, float(temperature), cache_len, length,
-        )
+        # Batches beyond what one kernel's VMEM holds run as sequential
+        # fused dispatches (async dispatch pipelines the link round-trips);
+        # each chunk gets its own PRNG seed.
+        chunk = _megakernel_chunk(self.config, prompt.shape[0], cache_len)
+        if chunk == 0:
+            raise ValueError(
+                f"cache_len {cache_len} exceeds the fused kernel's VMEM budget"
+            )
+        outputs = []
+        for index, start in enumerate(range(0, prompt.shape[0], chunk)):
+            outputs.append(
+                self._pipeline(
+                    self.params, self.packed, prompt[start : start + chunk],
+                    jax.random.PRNGKey(seed + index),
+                    seed + index, float(temperature), cache_len, length,
+                )
+            )
+        return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)
 
 
 _ENGINE_CACHE = {}

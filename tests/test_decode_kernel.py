@@ -133,3 +133,48 @@ def test_batched_kernel_matches_xla_greedy(use_relative):
         config=config, length=length, cache_len=128, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_chunked_engine_splits_large_batches(setup):
+    """Batches beyond one kernel's VMEM run as sequential fused dispatches:
+    the engine slices the prompt batch, seeds each chunk differently, and
+    reassembles outputs in order."""
+    from composer_tpu.train import generate as gen
+
+    config, model, params = setup
+    engine = gen.TransformerDecoder(model, params, dtype=jnp.float32)
+
+    calls = []
+
+    def fake_pipeline(params, packed, prompt, rng, seed, temperature, cache_len, length):
+        calls.append((prompt.shape[0], int(seed)))
+        # Tag outputs with the seed so ordering is checkable.
+        return jnp.full((prompt.shape[0], length), seed, jnp.int32)
+
+    engine._pipeline = fake_pipeline
+    prompts = jnp.tile(jnp.arange(4, dtype=jnp.int32)[None], (19, 1))
+    out = engine.generate(prompts, length=6, temperature=0.0, seed=100)
+
+    assert out.shape == (19, 6)
+    chunk = gen._megakernel_chunk(config, 19, 128)
+    assert [c[0] for c in calls] == [chunk] * (19 // chunk) + (
+        [19 % chunk] if 19 % chunk else []
+    )
+    # Distinct per-chunk seeds, outputs in batch order.
+    assert [c[1] for c in calls] == list(range(100, 100 + len(calls)))
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 0]),
+        np.repeat(range(100, 100 + len(calls)), [c[0] for c in calls]),
+    )
+
+
+def test_use_megakernel_allows_large_batches():
+    from composer_tpu.train import generate as gen
+
+    config, model, params = _setup()
+    # 64 sequences at a small cache: chunkable, so the fused engine applies.
+    assert gen._megakernel_chunk(config, 64, 256) == 8
+    assert gen._use_megakernel(model, ModelType.TRANSFORMER, 64, 256, "megakernel")
+    # An enormous cache that cannot even fit one sequence falls back.
+    assert gen._megakernel_chunk(config, 4, 40_000_000) == 0
+    assert not gen._use_megakernel(model, ModelType.TRANSFORMER, 4, 40_000_000, "megakernel")
