@@ -18,6 +18,12 @@ import numpy as np
 DECODE_TARGET_EVENTS_PER_SEC = 50_000.0
 
 
+def _timed_once(call):
+    start = time.perf_counter()
+    call()
+    return time.perf_counter() - start
+
+
 def _default_transformer(use_relative_attention: bool, dtype):
     from composer_tpu.models.transformer import Transformer, TransformerConfig
 
@@ -87,15 +93,22 @@ def run_decode_benchmark(
     best = timed(length)
     events_per_sec = batch_size * length / best
 
-    # Marginal (on-device) rate: doubling the decode length isolates the
-    # per-token cost from the constant per-invocation dispatch latency
-    # (~24 ms through this environment's remote-device tunnel; measured as
-    # the cost of a trivial 1-op program). Only meaningful when both lengths
-    # run the same engine, so restrict to the batch-1 workload.
+    # Marginal (on-device) rate: wall time minus the constant per-dispatch
+    # latency (~24 ms through this environment's remote-device tunnel),
+    # measured as the min cost of a trivial jitted program. (An earlier
+    # length-differencing estimator was far noisier: the tunnel round-trip
+    # jitters by several ms between runs.) Reported for the batch-1
+    # latency workload.
     marginal = None
     if batch_size == 1:
-        double = timed(2 * length)
-        marginal = round(batch_size * length / max(double - best, 1e-9), 1)
+        trivial = jax.jit(lambda x: x + 1)
+        probe = jnp.zeros((8, 128))
+        np.asarray(trivial(probe))
+        floor = min(
+            _timed_once(lambda: np.asarray(trivial(probe))) for _ in range(10)
+        )
+        on_device = max(best - floor, 1e-9)
+        marginal = round(batch_size * length / on_device, 1)
 
     return {
         "metric": "decode_events_per_sec",
