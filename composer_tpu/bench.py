@@ -66,14 +66,6 @@ def run_decode_benchmark(
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, 390, (batch_size, prompt_length)).astype(np.int32)
 
-    def run():
-        out = generate_ids(
-            model, ModelType.TRANSFORMER, params, prompt,
-            length=length, temperature=1.0, seed=seed,
-        )
-        jax.block_until_ready(out)
-        return out
-
     def timed(gen_length):
         def call():
             out = generate_ids(

@@ -631,20 +631,23 @@ def profile(model_type, output_dir, config_filepath, steps, decode_length):
     x, y = jnp.asarray(x), jnp.asarray(y)
     key = jax.random.PRNGKey(get_seed())
 
-    # The jitted train step donates the parameter buffers, so the decode's
-    # view of the weights must be rebuilt from the current state each time.
-    def current_variables():
-        return (
-            state.params
-            if model_type == ModelType.TRANSFORMER
-            else {"params": state.params, **state.extra_vars}
-        )
-
-    # Compile outside the trace so the capture is steady-state.
+    # Compile outside the trace so the capture is steady-state. Two traps:
+    # (a) the jitted train step DONATES the parameter buffers, so any params
+    # object captured before a step is deleted by it — the decode works on a
+    # copy that survives the traced steps (and keeps the serving engine's
+    # packed-weights cache, keyed on object identity, warm);
+    # (b) block_until_ready is not a reliable barrier on every remote
+    # backend — a host transfer is (np.asarray).
     state, metrics, carry = trainer.train_step(state, x, y, key, carry)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])
+    decode_variables = jax.tree_util.tree_map(
+        jnp.copy,
+        state.params
+        if model_type == ModelType.TRANSFORMER
+        else {"params": state.params, **state.extra_vars},
+    )
     np.asarray(
-        generate_ids(trainer.model, model_type, current_variables(), prompt,
+        generate_ids(trainer.model, model_type, decode_variables, prompt,
                      length=decode_length, temperature=1.0, seed=get_seed())
     )
 
@@ -654,10 +657,10 @@ def profile(model_type, output_dir, config_filepath, steps, decode_length):
     try:
         for _ in range(steps):
             state, metrics, carry = trainer.train_step(state, x, y, key, carry)
-        jax.block_until_ready(metrics["loss"])
+        np.asarray(metrics["loss"])
         with jax.profiler.TraceAnnotation("decode"):
             np.asarray(
-                generate_ids(trainer.model, model_type, current_variables(), prompt,
+                generate_ids(trainer.model, model_type, decode_variables, prompt,
                              length=decode_length, temperature=1.0, seed=get_seed())
             )
     finally:

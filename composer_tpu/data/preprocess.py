@@ -92,8 +92,10 @@ def convert_file(
     starts, ends, pitches, velocities, sus_starts, sus_ends = read_note_arrays(filepath)
 
     if trim_start and (len(starts) or len(sus_starts)):
-        # NoteSequence.trim_start semantics: earliest note start (the arrays'
-        # minimum) or, with sustains, the *first listed* period's start.
+        # NoteSequence.trim_start semantics: notes[0].start after the
+        # constructor's sort-by-start == the arrays' global minimum; sustains
+        # are NOT sorted by the constructor, so the *first listed* period's
+        # start is the one that counts.
         offset = starts.min() if len(starts) else sus_starts[0]
         if len(starts) and len(sus_starts):
             offset = min(offset, sus_starts[0])

@@ -152,12 +152,18 @@ def _megakernel_chunk(config, batch: int, cache_len: int) -> int:
     return 0
 
 
+def _padded_cache_len(cache_len: int) -> int:
+    # Cache slabs are tile-aligned inside the fused kernels; the VMEM-fit
+    # decision must use the same rounded size the engine will allocate.
+    return max(-(-cache_len // 128) * 128, 128)
+
+
 def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) -> bool:
     if engine == "xla":
         return False
     if model_type != ModelType.TRANSFORMER:
         return False
-    if _megakernel_chunk(model.config, batch, cache_len) == 0:
+    if _megakernel_chunk(model.config, batch, _padded_cache_len(cache_len)) == 0:
         return False
     if engine == "megakernel":
         return True
@@ -212,12 +218,10 @@ class TransformerDecoder:
             prompt = prompt[None]
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        # Keep cache slabs tile-aligned inside the fused kernel.
-        cache_len = max(-(-cache_len // 128) * 128, 128)
+        cache_len = _padded_cache_len(cache_len)
 
         # Batches beyond what one kernel's VMEM holds run as sequential
-        # fused dispatches (async dispatch pipelines the link round-trips);
-        # each chunk gets its own PRNG seed.
+        # fused dispatches (async dispatch pipelines the link round-trips).
         chunk = _megakernel_chunk(self.config, prompt.shape[0], cache_len)
         if chunk == 0:
             raise ValueError(
@@ -225,11 +229,17 @@ class TransformerDecoder:
             )
         outputs = []
         for index, start in enumerate(range(0, prompt.shape[0], chunk)):
+            # Distinct per-chunk PRNG streams. Chunk 0 keeps the user seed
+            # (single-dispatch behaviour unchanged); later chunks stride by
+            # 65537 so a user sweeping adjacent seeds never collides with
+            # another call's chunk stream (seed + index would: call(seed=0)
+            # chunk 1 == call(seed=1) chunk 0).
+            chunk_seed = seed if index == 0 else (seed * 65537 + index) % (2**31)
             outputs.append(
                 self._pipeline(
                     self.params, self.packed, prompt[start : start + chunk],
-                    jax.random.PRNGKey(seed + index),
-                    seed + index, float(temperature), cache_len, length,
+                    jax.random.PRNGKey(chunk_seed),
+                    chunk_seed, float(temperature), cache_len, length,
                 )
             )
         return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)

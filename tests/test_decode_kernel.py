@@ -160,11 +160,16 @@ def test_chunked_engine_splits_large_batches(setup):
     assert [c[0] for c in calls] == [chunk] * (19 // chunk) + (
         [19 % chunk] if 19 % chunk else []
     )
-    # Distinct per-chunk seeds, outputs in batch order.
-    assert [c[1] for c in calls] == list(range(100, 100 + len(calls)))
+    # Chunk 0 keeps the user seed (single-dispatch behaviour unchanged);
+    # later chunks stride so adjacent user seeds can never collide.
+    expected_seeds = [100] + [
+        (100 * 65537 + index) % (2**31) for index in range(1, len(calls))
+    ]
+    assert [c[1] for c in calls] == expected_seeds
+    assert len(set(expected_seeds)) == len(expected_seeds)
     np.testing.assert_array_equal(
         np.asarray(out[:, 0]),
-        np.repeat(range(100, 100 + len(calls)), [c[0] for c in calls]),
+        np.repeat(expected_seeds, [c[0] for c in calls]),
     )
 
 
@@ -178,3 +183,16 @@ def test_use_megakernel_allows_large_batches():
     # An enormous cache that cannot even fit one sequence falls back.
     assert gen._megakernel_chunk(config, 4, 40_000_000) == 0
     assert not gen._use_megakernel(model, ModelType.TRANSFORMER, 4, 40_000_000, "megakernel")
+
+
+def test_vmem_gate_matches_engine_padding(setup):
+    """The engine pads cache_len to 128; the routing gate must apply the
+    same padding, or requests in the 127-wide band just below a chunk-size
+    boundary get routed to the fused engine only to be rejected by it."""
+    from composer_tpu.train import generate as gen
+
+    config, model, params = setup
+    for raw_len in range(100, 50_000, 997):
+        if gen._use_megakernel(model, ModelType.TRANSFORMER, 4, raw_len, "megakernel"):
+            padded = gen._padded_cache_len(raw_len)
+            assert gen._megakernel_chunk(config, 4, padded) > 0, raw_len

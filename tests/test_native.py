@@ -125,7 +125,7 @@ def test_native_midi_parse_matches_python(tmp_path):
     assert parsed_c["program"].tolist() == [0, 42, 7, 0]
 
 
-def test_native_midi_parse_randomized_roundtrip(rng):
+def test_native_midi_parse_randomized_roundtrip(rng, tmp_path):
     """Differential fuzz: random NoteSequences written by our own writer parse
     identically through both parsers."""
     from composer_tpu.midi import midi_io
@@ -143,9 +143,9 @@ def test_native_midi_parse_randomized_roundtrip(rng):
             t += float(rng.integers(0, 400))
         periods = [SustainPeriod(0.0, max(t / 2, 1.0)), SustainPeriod(t / 2 + 10, t + 20)]
         sequence = NoteSequence(notes, periods)
-        data_path = "/tmp/native_fuzz.mid"
-        sequence.to_midi(data_path)
-        raw = open(data_path, "rb").read()
+        data_path = tmp_path / "native_fuzz.mid"
+        sequence.to_midi(str(data_path))
+        raw = data_path.read_bytes()
         parsed_py = midi_io._parsed_arrays_from_midifile(midi_io.parse_midi(raw))
         parsed_c = parse_midi_arrays(raw)
         for key in parsed_py:
