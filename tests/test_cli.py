@@ -206,3 +206,19 @@ def test_profile_writes_trace(workspace):
     )
     assert result.exit_code == 0, result.output
     assert list(out.glob("plugins/profile/*/*.xplane.pb"))
+
+
+def test_synthesize_without_fluidsynth_fails_cleanly(workspace, monkeypatch):
+    """Without fluidsynth on PATH the command exits with a clean error, not
+    a traceback (and never attempts a soundfont download when --sf-path is
+    given)."""
+    root, _, raw = workspace
+    soundfont = root / "dummy.sf2"
+    soundfont.write_bytes(b"RIFF")
+    monkeypatch.setattr("shutil.which", lambda name: None)
+    result = run_cli(
+        "synthesize", next(raw.glob("*.mid")), "--sf-path", soundfont,
+    )
+    assert result.exit_code != 0
+    assert "FluidSynth" in result.output
+    assert "Traceback" not in result.output
