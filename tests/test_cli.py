@@ -208,17 +208,22 @@ def test_profile_writes_trace(workspace):
     assert list(out.glob("plugins/profile/*/*.xplane.pb"))
 
 
-def test_synthesize_without_fluidsynth_fails_cleanly(workspace, monkeypatch):
+def test_synthesize_without_fluidsynth_fails_cleanly(workspace, monkeypatch, caplog):
     """Without fluidsynth on PATH the command exits with a clean error, not
     a traceback (and never attempts a soundfont download when --sf-path is
-    given)."""
+    given). The message is asserted via log records: the CLI logs through
+    the root logger, whose stream handler may be bound to the real stderr
+    by an earlier test, bypassing CliRunner's capture."""
+    import logging as logging_module
+
     root, _, raw = workspace
     soundfont = root / "dummy.sf2"
     soundfont.write_bytes(b"RIFF")
     monkeypatch.setattr("shutil.which", lambda name: None)
-    result = run_cli(
-        "synthesize", next(raw.glob("*.mid")), "--sf-path", soundfont,
-    )
+    with caplog.at_level(logging_module.ERROR):
+        result = run_cli(
+            "synthesize", next(raw.glob("*.mid")), "--sf-path", soundfont,
+        )
     assert result.exit_code != 0
-    assert "FluidSynth" in result.output
+    assert "FluidSynth" in caplog.text
     assert "Traceback" not in result.output
