@@ -144,7 +144,10 @@ def load_dataset(
     clamp_batch: bool = False,
 ) -> WindowDataset:
     """Loads ``.data`` files into a :class:`WindowDataset`."""
-    logging.info("Loading %d .data files into memory.", len(list(filepaths)))
+    # Materialize first: callers pass generators (e.g. Path.glob), and the
+    # len() in the log line must not exhaust the iterator before loading.
+    filepaths = list(filepaths)
+    logging.info("Loading %d .data files into memory.", len(filepaths))
     stream = load_event_ids(filepaths, num_workers=num_workers, show_progress_bar=show_progress_bar)
     return WindowDataset(
         stream,

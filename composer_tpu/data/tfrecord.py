@@ -94,6 +94,8 @@ def read_records(filepath, verify_crc: bool = True) -> Iterator[bytes]:
         if len(record) != length:
             raise DatasetError(f"Truncated TFRecord payload in '{filepath}'.")
         offset += length
+        if offset + 4 > len(data):
+            raise DatasetError(f"Truncated TFRecord payload CRC in '{filepath}'.")
         (record_crc,) = struct.unpack_from("<I", data, offset)
         if verify_crc and _masked_crc(record) != record_crc:
             raise DatasetError(f"Corrupt TFRecord payload CRC in '{filepath}'.")

@@ -24,6 +24,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from composer_tpu.exceptions import InvalidParameterError
+
 
 @unique
 class EventType(IntEnum):
@@ -175,6 +177,16 @@ class NoteSequence:
 
         Parity: sequence.py:383-592.
         """
+        for period in self.sustain_periods:
+            if period.end is None:
+                # An open period (end defaults to None) would otherwise
+                # surface as a TypeError deep inside the marker sort — the
+                # reference crashed the same way (sequence.py:431-441);
+                # surface a clean error instead.
+                raise InvalidParameterError(
+                    "Cannot encode a sustain period with no end time "
+                    f"(starts at {period.start} ms)."
+                )
         ordered_notes = sorted(self.notes, key=lambda n: n.start)
         ordered_sustains = sorted(self.sustain_periods, key=lambda p: p.start)
 

@@ -82,11 +82,15 @@ def relative_logits_decode(
 
     In skew layout the embeddings for distances ``position .. position -
     (cache_len-1)`` are *contiguous* starting at ``window - 1 - position``, so
-    a single ``dynamic_slice`` of a zero-padded E suffices — no gather.
+    a single ``dynamic_slice`` of a zero-padded E suffices — no gather. E is
+    padded on BOTH sides: once ``position >= window`` the slice start
+    ``window - 1 - position`` goes negative, and the leading zero rows make
+    out-of-table distances (> window-1) contribute zero bias instead of a
+    clamped-slice misalignment.
     """
     heads, window, depth = rel_embedding.shape
-    padded = jnp.pad(rel_embedding, ((0, 0), (0, cache_len), (0, 0)))
-    start = jnp.clip(window - 1 - position, 0, window + cache_len - 1)
+    padded = jnp.pad(rel_embedding, ((0, 0), (cache_len, cache_len), (0, 0)))
+    start = cache_len + window - 1 - position
     e_slice = jax.lax.dynamic_slice(
         padded, (0, start, 0), (heads, cache_len, depth)
     )

@@ -78,7 +78,13 @@ def _transformer_generate(
     stages (256, 512, ...) cuts the average read volume ~1.5x at 2048.
     """
     batch, prompt_len = prompt.shape
-    total = prompt_len + length
+    if prompt_len + length > cache_len:
+        # Without this the staged-growth loop below can never gain capacity
+        # and spins forever (the fused-kernel path raises the same way).
+        raise ValueError(
+            f"prompt ({prompt_len}) + length ({length}) exceeds cache "
+            f"({cache_len})"
+        )
 
     stage = 256
     while stage < prompt_len + 1:
@@ -163,6 +169,10 @@ def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) 
         return False
     if model_type != ModelType.TRANSFORMER:
         return False
+    if not getattr(model.config, "use_layer_norm", True):
+        # The fused kernels hard-code the pre-LN block (and pack_weights
+        # reads ln_1/ln_2/ln_f); norm-free models stay on the XLA path.
+        return False
     if _megakernel_chunk(model.config, batch, _padded_cache_len(cache_len)) == 0:
         return False
     if engine == "megakernel":
@@ -230,11 +240,15 @@ class TransformerDecoder:
         outputs = []
         for index, start in enumerate(range(0, prompt.shape[0], chunk)):
             # Distinct per-chunk PRNG streams. Chunk 0 keeps the user seed
-            # (single-dispatch behaviour unchanged); later chunks stride by
-            # 65537 so a user sweeping adjacent seeds never collides with
-            # another call's chunk stream (seed + index would: call(seed=0)
-            # chunk 1 == call(seed=1) chunk 0).
-            chunk_seed = seed if index == 0 else (seed * 65537 + index) % (2**31)
+            # (single-dispatch behaviour unchanged); later chunks map into a
+            # band disjoint from small user seeds (values >= 2**16 + 65537),
+            # so sweeping user seeds 0..65535 can never collide with any
+            # call's later-chunk stream (a plain seed+index or seed*K+index
+            # scheme collides at e.g. seed=0 chunk 1 vs seed=1 chunk 0).
+            chunk_seed = (
+                seed if index == 0
+                else (seed * 65537 + 2**16 + index) % (2**31)
+            )
             outputs.append(
                 self._pipeline(
                     self.params, self.packed, prompt[start : start + chunk],

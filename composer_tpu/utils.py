@@ -36,9 +36,7 @@ def parallel_map(
     call = (lambda a: function(**a)) if use_kwargs else function
 
     results = [None] * len(items)
-    warmup = min(serial_warmup, len(items)) if num_workers != 1 else len(items)
-    if num_workers == 1:
-        warmup = len(items)
+    warmup = len(items) if num_workers == 1 else min(serial_warmup, len(items))
 
     for i in range(warmup):
         try:

@@ -259,3 +259,29 @@ def test_sharded_global_batch_consistency():
         global_rows.extend(tuple(r) for r in global_batch)
         np.testing.assert_array_equal(y0, x0 + 1)  # shifted labels intact
     assert len(set(global_rows)) == len(global_rows)
+
+
+def test_load_dataset_accepts_generators(tmp_path):
+    """A generator of file paths (e.g. Path.glob) must survive the count in
+    the log line (it used to be exhausted by len(list(...)))."""
+    from composer_tpu.midi.serialization import write_event_pairs
+
+    for index in range(3):
+        types = np.full(40, 3, np.int16)
+        values = np.full(40, 1, np.int16)
+        write_event_pairs(tmp_path / f"f{index}.data", types, values, 10, 100, 32)
+    dataset = loader.load_dataset(
+        tmp_path.glob("*.data"), batch_size=2, window_size=4, shuffle=False
+    )
+    assert len(dataset) > 0
+
+
+def test_truncated_payload_crc_raises_dataset_error(tmp_path):
+    from composer_tpu.exceptions import DatasetError
+
+    path = tmp_path / "t.tfrecord"
+    tfrecord.write_records(path, [b"payload-bytes"])
+    data = path.read_bytes()
+    path.write_bytes(data[:-2])  # cut inside the trailing payload CRC
+    with pytest.raises(DatasetError):
+        list(tfrecord.read_records(path))

@@ -161,10 +161,12 @@ def test_chunked_engine_splits_large_batches(setup):
         [19 % chunk] if 19 % chunk else []
     )
     # Chunk 0 keeps the user seed (single-dispatch behaviour unchanged);
-    # later chunks stride so adjacent user seeds can never collide.
+    # later chunks land in a band disjoint from small user seeds so seed
+    # sweeps can never collide with another call's chunk streams.
     expected_seeds = [100] + [
-        (100 * 65537 + index) % (2**31) for index in range(1, len(calls))
+        (100 * 65537 + 2**16 + index) % (2**31) for index in range(1, len(calls))
     ]
+    assert all(s >= 2**16 for s in expected_seeds[1:])
     assert [c[1] for c in calls] == expected_seeds
     assert len(set(expected_seeds)) == len(expected_seeds)
     np.testing.assert_array_equal(
@@ -196,3 +198,35 @@ def test_vmem_gate_matches_engine_padding(setup):
         if gen._use_megakernel(model, ModelType.TRANSFORMER, 4, raw_len, "megakernel"):
             padded = gen._padded_cache_len(raw_len)
             assert gen._megakernel_chunk(config, 4, padded) > 0, raw_len
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_generation_past_window_matches_xla_greedy(use_relative):
+    """Decoding past window_size: positions clamp to the last learned
+    embedding and relative distances beyond the table contribute zero bias.
+    The XLA path used to misalign the rel bias here (clamped slice start),
+    so this pins kernel/XLA agreement in exactly that regime."""
+    config = TransformerConfig(
+        vocab_size=390, embed_dim=64, window_size=16, num_layers=2,
+        num_heads=4, use_relative_attention=use_relative,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        initializer_stddev=0.3, dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    prompt = np.array([5, 100, 300, 17], np.int32)
+    length = 28  # prompt 4 + 28 = 32 positions, twice the window
+
+    xla_out = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompt[None],
+        length=length, temperature=0.0, seed=0, engine="xla",
+    )
+    expected = np.asarray(xla_out[0, len(prompt):])
+
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    tokens = dk.megakernel_generate(
+        packed, prompt, seed=0, temperature=0.0,
+        config=config, length=length, cache_len=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), expected)
+    assert len(set(expected.tolist())) > 1

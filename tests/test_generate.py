@@ -85,3 +85,54 @@ def test_generate_rnn():
     out = generate_ids(model, ModelType.MUSIC_RNN, variables, prompt, length=12, seed=0)
     assert out.shape == (1, 15)
     assert out.max() < VOCAB
+
+
+def test_relative_logits_decode_past_window():
+    """Slot j must read E(distance position-j) even once position >= window,
+    with zero bias for out-of-table distances (a clamped slice used to
+    misalign every slot silently)."""
+    import jax
+    import jax.numpy as jnp
+
+    from composer_tpu.ops.attention import relative_logits_decode
+
+    H, W, D, C = 2, 8, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    E = jax.random.normal(keys[0], (H, W, D))
+    q = jax.random.normal(keys[1], (1, H, 1, D))
+
+    for position in [0, 3, 7, 8, 11, 15]:
+        out = np.asarray(relative_logits_decode(q, E, jnp.int32(position), C))
+        for j in range(C):
+            distance = position - j
+            if 0 <= distance < W:
+                expected = np.einsum("hd,hd->h", np.asarray(q)[0, :, 0], np.asarray(E)[:, W - 1 - distance])
+            else:
+                expected = np.zeros(H)
+            np.testing.assert_allclose(out[0, :, 0, j], expected, rtol=1e-5, atol=1e-6, err_msg=f"pos={position} j={j}")
+
+
+def test_generate_rejects_undersized_cache():
+    """cache_len smaller than prompt+length raises instead of spinning
+    forever in the staged-growth loop."""
+    import pytest
+
+    model, params = _transformer()
+    prompt = np.array([1, 2, 3, 4], dtype=np.int32)
+    with pytest.raises(ValueError, match="exceeds cache"):
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompt,
+            length=100, cache_len=64, engine="xla", seed=0,
+        )
+
+
+def test_megakernel_gate_rejects_norm_free_models():
+    from composer_tpu.models.transformer import Transformer, TransformerConfig
+    from composer_tpu.train.generate import _use_megakernel
+
+    config = TransformerConfig(
+        vocab_size=64, embed_dim=16, window_size=16, num_layers=1,
+        num_heads=2, use_layer_norm=False,
+    )
+    model = Transformer(config)
+    assert not _use_megakernel(model, ModelType.TRANSFORMER, 1, 128, "megakernel")

@@ -316,3 +316,16 @@ def test_clean_removes_zero_shifts_and_onoff_pairs():
         (EventType.TIME_SHIFT, 100),
         (EventType.NOTE_OFF, 60),
     ]
+
+
+def test_open_sustain_period_raises_cleanly():
+    """An end-less sustain period (end defaults to None) surfaces as a clean
+    InvalidParameterError, not a TypeError from the marker sort."""
+    import pytest
+
+    from composer_tpu.exceptions import InvalidParameterError
+    from composer_tpu.midi.events import Note, NoteSequence, SustainPeriod
+
+    sequence = NoteSequence([Note(0, 100, 60, 64)], [SustainPeriod(50.0)])
+    with pytest.raises(InvalidParameterError, match="no end"):
+        sequence.to_event_sequence()
