@@ -113,6 +113,8 @@ def get_dataset(
             np.random.shuffle(files)
         if max_files is not None:
             files = files[:max_files]
+        import jax
+
         return loader.load_dataset(
             files,
             get_batch_size(model_type, config),
@@ -123,6 +125,10 @@ def get_dataset(
             show_progress_bar=show_progress_bar,
             # Evaluation sets may be smaller than one training batch.
             clamp_batch=(mode == "test"),
+            # Multi-host runs (initialize_multihost): each host loads its own
+            # disjoint window shard for the data-parallel mesh axis.
+            shard_count=jax.process_count(),
+            shard_index=jax.process_index(),
         )
 
     if not dataset_path.is_file() or dataset_path.suffix != ".tfrecord":

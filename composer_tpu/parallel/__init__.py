@@ -4,6 +4,7 @@ from composer_tpu.parallel.mesh import (
     LOGICAL_AXIS_RULES,
     batch_sharding,
     create_mesh,
+    initialize_multihost,
     replicated_sharding,
     shard_params,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "LOGICAL_AXIS_RULES",
     "batch_sharding",
     "create_mesh",
+    "initialize_multihost",
     "replicated_sharding",
     "shard_params",
 ]

@@ -40,6 +40,29 @@ LOGICAL_AXIS_RULES = (
 )
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Joins a multi-host JAX runtime; returns (process_index, process_count).
+
+    On TPU pods the arguments are discovered from the environment and may be
+    omitted; on other platforms pass them explicitly. After this,
+    ``jax.devices()`` spans every host, ``create_mesh`` builds a global mesh,
+    and the CLI's dataset loading shards windows per host automatically
+    (data/loader.py shard_count/shard_index). XLA's SPMD partitioner inserts
+    the cross-host collectives — there is no custom transport (SURVEY §2.6).
+    Single-process runs can skip this entirely.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
+
+
 def create_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     """Builds a (data, model) mesh over the available devices.
 
