@@ -62,18 +62,14 @@ def _batched_kernel(
         kbuf[layer] = jnp.zeros_like(kbuf[layer])
         vbuf[layer] = jnp.zeros_like(vbuf[layer])
 
-    # Masks. Group of activation row r: r // R; block of cache col j: j // C.
+    # Masks. Group of activation row r: r // R (sequence s = rows s*R..s*R+R-1).
     rowmask_one = (
         jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) // head_dim
         == jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
     ).astype(jnp.float32)
     rowmask = jnp.tile(rowmask_one, (B, 1))  # (B*R, E)
 
-    score_rows = jax.lax.broadcasted_iota(jnp.int32, (B * R, B * C), 0)
-    score_cols = jax.lax.broadcasted_iota(jnp.int32, (B * R, B * C), 1)
-    same_block = (score_rows // R) == (score_cols // C)
-    col_in_block = score_cols % C  # cache position within the sequence
-
+    cache_cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
     vocab_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
@@ -149,17 +145,13 @@ def _batched_kernel(
 
             qb_f32 = q * rowmask  # (B*R, E)
             qb = qb_f32.astype(kbuf.dtype)
-            scores = jax.lax.dot_general(
-                qb, kbuf[layer],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (B*R, B*C)
 
             if use_rel:
                 # Shear-free relative bias (ops/decode_kernel.py): band lane
                 # (window-1-position+j) holds distance (position-j); one
                 # dynamic roll aligns it to cache slots, zero padding absorbs
-                # out-of-table distances.
+                # out-of-table distances. All sequences share the table, so
+                # this stays one (B*R)-row matmul (no cross-sequence waste).
                 band = jax.lax.dot_general(
                     qb, rel_pad_ref[layer],
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -167,22 +159,37 @@ def _batched_kernel(
                 )  # (B*R, W + C)
                 shift = jnp.mod(position + 1 - window, rel_width)
                 rolled = pltpu.roll(band, shift, axis=1)
-                scores = scores + jnp.tile(rolled[:, :C], (1, B)) * same_block
 
-            scores = scores * softmax_scale
-            valid = same_block & (col_in_block <= position)
-            scores = jnp.where(valid, scores, NEG_INF)
+            # Attention per sequence (static unrolled loop): a single
+            # (B*R, B*C) scores matmul would compute all BxB cross-sequence
+            # blocks and mask 7/8 of them away — 8x wasted MXU at B=8, and
+            # the scores/AV matmuls dominate the step there.
+            attn_rows = []
+            for s in range(B):
+                qb_s = qb[s * R : (s + 1) * R]  # (R, E)
+                scores = jax.lax.dot_general(
+                    qb_s, kbuf[layer, s * C : (s + 1) * C, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (R, C)
+                if use_rel:
+                    scores = scores + rolled[s * R : (s + 1) * R, :C]
+                scores = scores * softmax_scale
+                scores = jnp.where(cache_cols <= position, scores, NEG_INF)
 
-            m = jnp.max(scores, axis=1, keepdims=True)
-            p = jnp.exp(scores - m)
-            w = p / jnp.sum(p, axis=1, keepdims=True)
+                m = jnp.max(scores, axis=1, keepdims=True)
+                p = jnp.exp(scores - m)
+                w = p / jnp.sum(p, axis=1, keepdims=True)
 
-            mixed = jax.lax.dot_general(
-                w.astype(vbuf.dtype), vbuf[layer],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (B*R, E)
-            attn = expand(collapse(mixed))
+                mixed = jax.lax.dot_general(
+                    w.astype(vbuf.dtype), vbuf[layer, s * C : (s + 1) * C, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (R, E)
+                attn_rows.append(
+                    jnp.sum(mixed * rowmask_one, axis=0, keepdims=True)
+                )  # (1, E)
+            attn = expand(jnp.concatenate(attn_rows, axis=0))  # (B*R, E)
             attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(
                 jnp.float32
             )
