@@ -78,6 +78,7 @@ class Trainer:
         self.seed = seed
         self._compiled_train_step = None
         self._compiled_eval_step = None
+        self._compiled_eval_scan = None
 
     # ------------------------------------------------------------------ state
     def init_state(self, batch_size: int, window_size: int) -> TrainState:
@@ -169,6 +170,23 @@ class Trainer:
         if self._compiled_eval_step is None:
             self._compiled_eval_step = jax.jit(self._eval_step)
         return self._compiled_eval_step
+
+    def _eval_scan(self, state: TrainState, xs, ys, carry):
+        """Sums loss/accuracy over a (steps, B, W) stack in one program."""
+
+        def body(carry, batch):
+            x, y = batch
+            metrics, carry = self._eval_step(state, x, y, carry)
+            return carry, (metrics["loss"], metrics["accuracy"])
+
+        carry, (losses, accuracies) = jax.lax.scan(body, carry, (xs, ys))
+        return jnp.sum(losses), jnp.sum(accuracies), carry
+
+    @property
+    def eval_scan(self):
+        if self._compiled_eval_scan is None:
+            self._compiled_eval_scan = jax.jit(self._eval_scan)
+        return self._compiled_eval_scan
 
     def _place_batch(self, x, y):
         if self.mesh is None:
@@ -296,16 +314,43 @@ class Trainer:
 
         return state
 
-    def evaluate(self, dataset, state: TrainState):
-        """Mean loss/accuracy over a dataset (the NLL parity surface)."""
+    def evaluate(self, dataset, state: TrainState, scan_chunk: int = 64):
+        """Mean loss/accuracy over a dataset (the NLL parity surface).
+
+        Batches are evaluated in ``lax.scan`` chunks of ``scan_chunk`` so a
+        whole evaluation is a handful of device dispatches instead of one per
+        batch (per-dispatch latency dominates small evals on remote-attached
+        devices). The RNN carry threads through the scan in dataset order,
+        matching the per-batch loop's stateful semantics. Mesh-sharded
+        evaluation keeps the per-batch loop (batches are placed per step).
+        """
         carry = self.init_rnn_carry(dataset.batch_size)
-        total_loss, total_accuracy, batches = 0.0, 0.0, 0
-        for x, y in dataset:
-            x, y = self._place_batch(x, y)
-            metrics, carry = self.eval_step(state, x, y, carry)
-            total_loss += float(metrics["loss"])
-            total_accuracy += float(metrics["accuracy"])
-            batches += 1
+
+        if self.mesh is not None:
+            total_loss, total_accuracy, batches = 0.0, 0.0, 0
+            for x, y in dataset:
+                x, y = self._place_batch(x, y)
+                metrics, carry = self.eval_step(state, x, y, carry)
+                total_loss += float(metrics["loss"])
+                total_accuracy += float(metrics["accuracy"])
+                batches += 1
+        else:
+            xs, ys = dataset.batched_array()
+            batches = xs.shape[0]
+            total_loss, total_accuracy = 0.0, 0.0
+            offset = 0
+            while offset < batches:
+                take = min(scan_chunk, batches - offset)
+                loss_sum, accuracy_sum, carry = self.eval_scan(
+                    state,
+                    jnp.asarray(xs[offset : offset + take]),
+                    jnp.asarray(ys[offset : offset + take]),
+                    carry,
+                )
+                total_loss += float(loss_sum)
+                total_accuracy += float(accuracy_sum)
+                offset += take
+
         if batches == 0:
             return {"loss": float("nan"), "accuracy": float("nan"), "perplexity": float("nan")}
         mean_loss = total_loss / batches

@@ -128,3 +128,36 @@ def test_data_parallel_training_matches_single_device(tmp_path):
         np.testing.assert_allclose(
             float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=1e-4
         )
+
+
+def test_fused_evaluate_matches_per_batch_loop():
+    """evaluate() scans batches in chunks (one dispatch per chunk instead of
+    one per batch); the metrics and the threaded RNN carry must match the
+    per-batch loop exactly, including across a partial trailing chunk."""
+    from composer_tpu.models.music_rnn import MusicRNN, MusicRNNConfig
+
+    stream = np.random.default_rng(0).integers(0, 64, 4000).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=4, window_size=16, shuffle=False)
+
+    trainers = [
+        Trainer(_tiny_transformer(), ModelType.TRANSFORMER, 1e-3),
+        Trainer(
+            MusicRNN(MusicRNNConfig(vocab_size=VOCAB, embed_dim=8,
+                                    layer_sizes=(16,), dropout_rates=(0.0,))),
+            ModelType.MUSIC_RNN, 1e-3,
+        ),
+    ]
+    for trainer in trainers:
+        state = trainer.init_state(4, 16)
+        fused = trainer.evaluate(dataset, state, scan_chunk=7)  # forces a remainder
+        carry = trainer.init_rnn_carry(4)
+        total_loss = total_accuracy = count = 0.0
+        for x, y in dataset:
+            metrics, carry = trainer.eval_step(
+                state, jnp.asarray(x), jnp.asarray(y), carry
+            )
+            total_loss += float(metrics["loss"])
+            total_accuracy += float(metrics["accuracy"])
+            count += 1
+        assert abs(fused["loss"] - total_loss / count) < 1e-5
+        assert abs(fused["accuracy"] - total_accuracy / count) < 1e-5
