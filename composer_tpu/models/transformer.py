@@ -61,6 +61,10 @@ class TransformerConfig:
     # scores are computed one q-chunk at a time (O(S*chunk) live memory).
     # Incompatible with attention dropout (which must be 0 to take effect).
     attention_chunk_size: int = 0
+    # Band-coordinate attention (ops/band_attention.py) for full-sequence
+    # passes whose length is a multiple of this block: same numerics as the
+    # skew path, no O(S^2) relayout. 0 disables.
+    band_block_size: int = 128
     remat: bool = False
 
     @property
@@ -185,6 +189,7 @@ class SelfAttention(nn.Module):
                 dropout_rng=dropout_rng,
                 dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
                 use_pallas=config.use_pallas_attention and deterministic,
+                band_block_size=config.band_block_size,
             )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, config.embed_dim)

@@ -109,6 +109,7 @@ def multihead_attention(
     dropout_rng=None,
     dropout_rate: float = 0.0,
     use_pallas: bool = False,
+    band_block_size: int = 0,
 ) -> jnp.ndarray:
     """Causal multi-head attention core.
 
@@ -117,9 +118,33 @@ def multihead_attention(
     relative bias is added to the raw scores before scaling (reference order:
     transformer.py:341-348). ``q_position`` (traced scalar) selects the
     decode path for S_q == 1 against a longer cache.
+
+    ``band_block_size`` > 0 routes eligible square causal self-attention
+    through ops/band_attention.py — same numerics, no skew relayout (the
+    2048-ctx train bottleneck; see that module's docstring).
     """
     s_q, s_k = q.shape[2], k.shape[2]
     compute_dtype = q.dtype
+
+    if (
+        band_block_size
+        and s_q == s_k
+        and s_q % band_block_size == 0
+        and q_position is None
+        and mask is None
+    ):
+        from composer_tpu.ops.band_attention import band_causal_attention
+
+        return band_causal_attention(
+            q,
+            k,
+            v,
+            rel_embedding,
+            scale=scale,
+            block_size=band_block_size,
+            dropout_rng=dropout_rng,
+            dropout_rate=dropout_rate,
+        )
 
     if (
         use_pallas
