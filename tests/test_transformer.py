@@ -147,3 +147,50 @@ def test_dropout_rngs_change_training_output():
     out_c, _ = model.apply({"params": params}, tokens)
     out_d, _ = model.apply({"params": params}, tokens)
     np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_d))
+
+
+def test_band_path_matches_skew_path_through_model():
+    """band_block_size routes full-sequence attention through
+    ops/band_attention.py; logits must match the skew path to rounding."""
+    config_band = small_config(
+        window_size=64, use_relative_attention=True, band_block_size=32
+    )
+    config_skew = small_config(
+        window_size=64, use_relative_attention=True, band_block_size=0
+    )
+    model_band = Transformer(config_band)
+    model_skew = Transformer(config_skew)
+    params = model_band.init_params(jax.random.PRNGKey(3), batch_size=2, seq_len=64)
+
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 64), 0, VOCAB)
+    logits_band, _ = model_band.apply({"params": params}, tokens)
+    logits_skew, _ = model_skew.apply({"params": params}, tokens)
+    np.testing.assert_allclose(
+        np.asarray(logits_band), np.asarray(logits_skew), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_band_path_gradients_match_skew_path():
+    config_band = small_config(
+        window_size=32, use_relative_attention=True, band_block_size=16
+    )
+    config_skew = small_config(
+        window_size=32, use_relative_attention=True, band_block_size=0
+    )
+    model_band = Transformer(config_band)
+    model_skew = Transformer(config_skew)
+    params = model_band.init_params(jax.random.PRNGKey(5), batch_size=1, seq_len=32)
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 32), 0, VOCAB)
+
+    def loss(model):
+        def inner(p):
+            logits, _ = model.apply({"params": p}, tokens)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+        return inner
+
+    g_band = jax.grad(loss(model_band))(params)
+    g_skew = jax.grad(loss(model_skew))(params)
+    flat_band, _ = jax.tree_util.tree_flatten(g_band)
+    flat_skew, _ = jax.tree_util.tree_flatten(g_skew)
+    for gb, gs in zip(flat_band, flat_skew):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gs), rtol=5e-5, atol=5e-5)
