@@ -290,12 +290,12 @@ def run_train_benchmark(
     step_rng = jax.random.PRNGKey(seed)
 
     state, metrics, _ = trainer.train_step(state, x, y, step_rng, None)  # compile
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])  # force host transfer (block_until_ready is a no-op on axon)
 
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics, _ = trainer.train_step(state, x, y, step_rng, None)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])  # force host transfer
     elapsed = (time.perf_counter() - start) / steps
 
     tokens_per_sec = batch_size * window_size / elapsed

@@ -25,10 +25,12 @@ Layout choices (all static shapes):
 * the relative bias never materializes a per-distance cache table: each
   layer computes the band ``qb @ E_pad^T`` (one MXU op against the weight
   table padded with C zero rows) and aligns it to cache slots with ONE
-  dynamic lane roll — slot j needs distance (position - j), which is the
-  band's lane (window-1-position+j); out-of-table distances land in the
-  zero padding. (The previous design kept a (L*C, E) f32 rolling table and
-  rotated all 9.4 MB of it every step — that roll dominated rel decode.)
+  dynamic lane roll — slot j needs distance (position - j) = E row
+  (window-1-position+j), a contiguous cache_len-wide run; the matmul reads
+  only the 128-aligned (cache_len+128)-row superset of that run and a roll
+  fixes the sub-tile offset; out-of-table distances land in the zero
+  padding. (Earlier designs: a (L*C, E) f32 rolling table rotated 9.4 MB
+  every step, then a full-table-width band matmul — both measured slower.)
 * LayerNorm scale/bias for ln_2 and ln_f are folded into the adjacent
   matmul weights at pack time (gamma scales the kernel rows, beta becomes
   part of the bias), so the kernel only standardizes. ln_1 is NOT foldable:
@@ -147,7 +149,6 @@ def _decode_kernel(
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
     temperature = temp_ref[0]
     start_pos = start_pos_ref[0]
-    rel_width = rel_pad_ref.shape[1]
 
     vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
@@ -213,20 +214,23 @@ def _decode_kernel(
             )  # (H, C)
 
             if use_rel:
-                # Music-Transformer relative bias, shear-free: the band
-                # band[h, m] = q_h . E_pad[m] holds distance (window-1-m) in
-                # skew layout; cache slot j needs distance (position - j),
-                # i.e. band lane (window-1-position+j) — ONE dynamic roll
-                # left-aligns that run, and the C zero-pad rows absorb
-                # distances beyond the table (reference order: bias added
-                # before scaling, transformer.py:341-348).
+                # Music-Transformer relative bias, shear-free: cache slot j
+                # needs E row (window-1-position+j) of the skew-layout table —
+                # a contiguous cache_len-wide run. Contract against only the
+                # 128-aligned superset of that run ((C+128) rows instead of
+                # all W+C — the band matmul is the dominant rel cost), then
+                # ONE dynamic roll fixes the sub-tile offset. The C zero-pad
+                # rows absorb distances beyond the table (reference order:
+                # bias added before scaling, transformer.py:341-348).
+                start = window - 1 - position
+                aligned = pl.multiple_of((start // 128) * 128, 128)
                 band = jax.lax.dot_general(
-                    qb, rel_pad_ref[layer],
+                    qb, rel_pad_ref[layer, pl.ds(aligned, cache_len + 128), :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (H, W + C)
-                shift = jnp.mod(position + 1 - window, rel_width)
-                rolled = pltpu.roll(band, shift, axis=1)
+                )  # (H, C + 128); lane m holds E row (aligned + m)
+                delta = start - aligned  # in [0, 128)
+                rolled = pltpu.roll(band, cache_len + 128 - delta, axis=1)
                 scores = scores + rolled[:, :cache_len]
 
             scores = scores * softmax_scale
@@ -396,9 +400,12 @@ def _megakernel_decode_impl(
     out_len = num_steps - prompt.shape[0] + 1
 
     if use_rel:
-        # C trailing zero rows absorb out-of-table distances after the
-        # kernel's alignment roll.
-        rel_pad = jnp.pad(packed["rel_rows"], ((0, 0), (0, cache_len), (0, 0)))
+        # Trailing zero rows absorb out-of-table distances (future slots,
+        # causally masked) and keep the kernel's 128-aligned (cache_len+128)
+        # band slice in bounds for any window size / query position.
+        rel_pad = jnp.pad(
+            packed["rel_rows"], ((0, 0), (0, cache_len + 128), (0, 0))
+        )
     else:
         rel_pad = packed["rel_rows"]  # small dummy
 

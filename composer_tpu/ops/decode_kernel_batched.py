@@ -78,7 +78,6 @@ def _batched_kernel(
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
     temperature = temp_ref[0]
-    rel_width = rel_pad_ref.shape[1]
 
     def expand(x_small):  # (B, n) -> (B*R, n) replicated within groups
         return jnp.broadcast_to(
@@ -147,18 +146,22 @@ def _batched_kernel(
             qb = qb_f32.astype(kbuf.dtype)
 
             if use_rel:
-                # Shear-free relative bias (ops/decode_kernel.py): band lane
-                # (window-1-position+j) holds distance (position-j); one
-                # dynamic roll aligns it to cache slots, zero padding absorbs
+                # Shear-free relative bias (ops/decode_kernel.py): cache slot
+                # j needs E row (window-1-position+j) — contract against only
+                # the 128-aligned (C+128)-row superset of that run, then one
+                # dynamic roll fixes the sub-tile offset; zero padding absorbs
                 # out-of-table distances. All sequences share the table, so
                 # this stays one (B*R)-row matmul (no cross-sequence waste).
+                rel_start = window - 1 - position
+                rel_aligned = pl.multiple_of((rel_start // 128) * 128, 128)
                 band = jax.lax.dot_general(
-                    qb, rel_pad_ref[layer],
+                    qb, rel_pad_ref[layer, pl.ds(rel_aligned, C + 128), :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (B*R, W + C)
-                shift = jnp.mod(position + 1 - window, rel_width)
-                rolled = pltpu.roll(band, shift, axis=1)
+                )  # (B*R, C + 128); lane m holds E row (rel_aligned + m)
+                rolled = pltpu.roll(
+                    band, C + 128 - (rel_start - rel_aligned), axis=1
+                )
 
             # Attention per sequence (static unrolled loop): a single
             # (B*R, B*C) scores matmul would compute all BxB cross-sequence
@@ -251,7 +254,11 @@ def _batched_impl(
     num_steps = prompt_len + length - 1
 
     if use_rel:
-        rel_pad = jnp.pad(packed["rel_rows"], ((0, 0), (0, cache_len), (0, 0)))
+        # cache_len+128 trailing zero rows: absorb out-of-table distances and
+        # keep the kernel's 128-aligned (C+128)-row band slice in bounds.
+        rel_pad = jnp.pad(
+            packed["rel_rows"], ((0, 0), (0, cache_len + 128), (0, 0))
+        )
     else:
         rel_pad = packed["rel_rows"]  # small dummy
 
