@@ -351,9 +351,15 @@ def _make_trainer(model_type, config, mesh=None):
     from composer_tpu.train.trainer import Trainer
 
     model, _ = create_model(model_type, config)
+    train_section = (
+        config.music_rnn if model_type == ModelType.MUSIC_RNN else config.transformer
+    ).train
     return Trainer(
         model, model_type, get_learning_rate(model_type, config),
         mesh=mesh, seed=get_seed(),
+        # Optional additive knobs (0 = the reference's bare Adam).
+        warmup_steps=int(train_section.get("warmup_steps", 0)),
+        gradient_clip_norm=float(train_section.get("gradient_clip_norm", 0.0)),
     )
 
 

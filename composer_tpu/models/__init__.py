@@ -32,6 +32,25 @@ def get_event_vocab_size(config) -> int:
     return vocabulary_from_config(config).size
 
 
+def _compute_dtype(model_section):
+    """Compute dtype for a model section: bf16 on TPU, f32 elsewhere.
+
+    ``mixed_precision: true`` (the default) runs activations/matmuls in
+    bfloat16 on TPU accelerators while parameters and the optimizer stay
+    float32 — the idiomatic TPU training setup (the MXU's native input
+    precision, f32 accumulation). CPU runs stay float32 so golden tests and
+    cross-platform comparisons are deterministic. Set
+    ``mixed_precision: false`` in the model config for full-f32 numerics on
+    TPU (the reference's TF-default behavior).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if bool(model_section.get("mixed_precision", True)) and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def create_model(model_type: ModelType, config, **overrides):
     """Builds the Flax module for ``model_type`` from the config.
 
@@ -45,6 +64,7 @@ def create_model(model_type: ModelType, config, **overrides):
 
     if model_type == ModelType.TRANSFORMER:
         section = config.transformer.model
+        overrides.setdefault("dtype", _compute_dtype(section))
         model_config = TransformerConfig(
             vocab_size=vocab_size,
             embed_dim=int(section.embedding_size),
@@ -71,6 +91,7 @@ def create_model(model_type: ModelType, config, **overrides):
         dropout = section.lstm_dropout_probability
         if not isinstance(dropout, (list, tuple)):
             dropout = [float(dropout)] * int(section.lstm_layers_count)
+        overrides.setdefault("dtype", _compute_dtype(section))
         model_config = MusicRNNConfig(
             vocab_size=vocab_size,
             embed_dim=int(section.embedding_size),

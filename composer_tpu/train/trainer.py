@@ -56,8 +56,31 @@ def cross_entropy_and_accuracy(logits, labels):
     return loss, accuracy
 
 
-def make_optimizer(learning_rate: float, eps: float = 1e-7):
-    return optax.adam(learning_rate, eps=eps)
+def make_optimizer(
+    learning_rate: float,
+    eps: float = 1e-7,
+    warmup_steps: int = 0,
+    gradient_clip_norm: float = 0.0,
+):
+    """Adam, optionally with linear LR warmup and global-norm clipping.
+
+    The defaults (no warmup, no clipping) reproduce the reference's bare
+    ``tf.keras.optimizers.Adam`` (transformer.py:884). Warmup/clipping are
+    additive config knobs: the reference's default lr of 1e-3 measurably
+    diverges-to-unigram on the Transformer at batch 8 x 1024 ctx (loss stuck
+    at the corpus' unigram entropy) while a short warmup or a lower lr trains
+    fine — see docs/validation.md.
+    """
+    if warmup_steps > 0:
+        learning_rate = optax.linear_schedule(
+            0.0, learning_rate, transition_steps=warmup_steps
+        )
+    optimizer = optax.adam(learning_rate, eps=eps)
+    if gradient_clip_norm and gradient_clip_norm > 0.0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(gradient_clip_norm), optimizer
+        )
+    return optimizer
 
 
 class Trainer:
@@ -70,10 +93,16 @@ class Trainer:
         learning_rate: float,
         mesh=None,
         seed: int = 0,
+        warmup_steps: int = 0,
+        gradient_clip_norm: float = 0.0,
     ):
         self.model = model
         self.model_type = model_type
-        self.optimizer = make_optimizer(learning_rate)
+        self.optimizer = make_optimizer(
+            learning_rate,
+            warmup_steps=warmup_steps,
+            gradient_clip_norm=gradient_clip_norm,
+        )
         self.mesh = mesh
         self.seed = seed
         self._compiled_train_step = None
@@ -227,10 +256,17 @@ class Trainer:
         steps_per_epoch = len(dataset)
         events_per_batch = batch_size * dataset.window_size
 
-        # Epochs are 1-based and inclusive: ``epochs=N`` runs exactly N epochs.
-        # (The reference's loop — epoch counter starting at 1 with a ``<``
-        # test, transformer.py:890, 907 — made ``epochs=1`` a silent no-op
-        # that saved no checkpoint; a fixed quirk, like the dead --seed.)
+        # Per-step metrics are fetched from the device in deferred chunks:
+        # blocking on float(loss) every step serializes host and device (and
+        # on a remote-device tunnel costs a full round trip per step, measured
+        # ~3x the device step time at 1024 ctx). The device arrays are queued
+        # and materialized every ``metrics_flush_steps`` steps — by then they
+        # are long complete, so the fetch is pure transfer — while TB still
+        # receives every step's scalars and the step counter is tracked
+        # host-side (the jitted step increments it by exactly 1).
+        metrics_flush_steps = 16
+        global_step = int(state.step) - 1  # one sync, before the loop
+
         try:
             while epochs is None or int(state.epoch) <= epochs:
                 current_epoch = int(state.epoch)
@@ -242,34 +278,46 @@ class Trainer:
                     carry = self.init_rnn_carry(batch_size)
 
                 epoch_loss, epoch_accuracy, batch_count = 0.0, 0.0, 0
+                pending = []  # (global_step, device metrics) not yet fetched
                 progress = tqdm(total=steps_per_epoch, disable=not show_progress_bar)
                 epoch_start = time.perf_counter()
+
+                def drain(force=False):
+                    nonlocal epoch_loss, epoch_accuracy, batch_count
+                    if not pending or (not force and len(pending) < metrics_flush_steps):
+                        return
+                    values = jax.device_get(
+                        [(m["loss"], m["accuracy"]) for _, m in pending]
+                    )
+                    for (step_index, _), (loss, accuracy) in zip(pending, values):
+                        loss, accuracy = float(loss), float(accuracy)
+                        epoch_loss += loss
+                        epoch_accuracy += accuracy
+                        batch_count += 1
+                        writer.scalar("loss", loss, step_index)
+                        writer.scalar("accuracy", accuracy, step_index)
+                    progress.set_description(
+                        f"- loss: {loss:.4f} - accuracy: {accuracy:.4f}"
+                    )
+                    pending.clear()
+
                 for x, y in dataset:
                     x, y = self._place_batch(x, y)
                     rng, step_rng = jax.random.split(rng)
 
-                    if profile_dir is not None and int(state.step) == 2:
+                    if profile_dir is not None and global_step + 1 == 2:
                         jax.profiler.start_trace(str(profile_dir))
                     state, metrics, carry = self.train_step(
                         state, x, y, step_rng, carry
                     )
-                    if profile_dir is not None and int(state.step) == 2 + profile_steps:
-                        jax.block_until_ready(metrics["loss"])
+                    global_step += 1
+                    if profile_dir is not None and global_step == 2 + profile_steps:
+                        np.asarray(metrics["loss"])  # force completion
                         jax.profiler.stop_trace()
                         profile_dir = None
 
-                    global_step = int(state.step) - 1
-                    loss = float(metrics["loss"])
-                    accuracy = float(metrics["accuracy"])
-                    epoch_loss += loss
-                    epoch_accuracy += accuracy
-                    batch_count += 1
-
-                    writer.scalar("loss", loss, global_step)
-                    writer.scalar("accuracy", accuracy, global_step)
-                    progress.set_description(
-                        f"- loss: {loss:.4f} - accuracy: {accuracy:.4f}"
-                    )
+                    pending.append((global_step, metrics))
+                    drain()
                     progress.update(1)
 
                     if (
@@ -278,6 +326,7 @@ class Trainer:
                     ):
                         checkpoints.save(global_step, flax.serialization.to_state_dict(state))
 
+                drain(force=True)
                 elapsed = time.perf_counter() - epoch_start
                 if batch_count:
                     writer.scalar("epoch_loss", epoch_loss / batch_count, current_epoch)
