@@ -161,3 +161,50 @@ def test_fused_evaluate_matches_per_batch_loop():
             count += 1
         assert abs(fused["loss"] - total_loss / count) < 1e-5
         assert abs(fused["accuracy"] - total_accuracy / count) < 1e-5
+
+
+def test_deferred_metrics_cover_every_step(tmp_path):
+    """The chunked metric fetch (trainer.py) must still record one loss and
+    one accuracy scalar per global step, in order, with no gaps — including
+    the sub-chunk tail at epoch end."""
+    import json
+
+    dataset = WindowDataset(_toy_stream(3000), batch_size=4, window_size=16, shuffle=False)
+    trainer = Trainer(_tiny_transformer(), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state = trainer.init_state(4, 16)
+    logdir = tmp_path / "run"
+    trainer.train(dataset, state, logdir, epochs=2, show_progress_bar=False)
+
+    rows = [json.loads(l) for l in (logdir / "train" / "metrics.jsonl").open()]
+    loss_steps = [r["step"] for r in rows if r["name"] == "loss"]
+    expected = 2 * len(dataset)
+    assert loss_steps == list(range(1, expected + 1)), loss_steps
+    acc_steps = [r["step"] for r in rows if r["name"] == "accuracy"]
+    assert acc_steps == loss_steps
+
+
+def test_warmup_and_clipping_optimizer():
+    """warmup_steps ramps the LR from zero; gradient_clip_norm bounds the
+    update; defaults reproduce bare Adam."""
+    from composer_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 100.0)}
+
+    # Warmup: the very first update must be (near) zero.
+    opt = make_optimizer(1e-1, warmup_steps=10)
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["w"]).max()) < 1e-6
+
+    # Clipping: global grad norm capped before Adam normalizes.
+    opt = make_optimizer(1e-1, gradient_clip_norm=1.0)
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+    # Defaults: plain Adam first step is -lr * sign-ish update.
+    opt = make_optimizer(1e-1)
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-3)
