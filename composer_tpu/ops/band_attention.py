@@ -88,12 +88,13 @@ def band_causal_attention(
     square causal self-attention; requires S % block_size == 0.
     ``rel_embedding`` is [H, window, D] in skew layout (window >= S).
 
-    The body is under selective rematerialization: only the bf16 masked score
-    tensor is saved for the backward pass ("band_scores"); the f32 softmax
-    output (4x larger) and the band K/V expansions are recomputed. Saving
-    everything exceeded HBM at 2048 ctx batch 8 (f32 probabilities alone are
-    2.1 GB/layer); full recompute wasted a forward. This middle ground costs
-    one cheap elementwise softmax replay per layer.
+    The body is under selective rematerialization: the bf16 masked score
+    tensor ("band_scores") plus the f32 softmax row max/sum
+    ("band_softmax_stats", O(S) per layer) are saved for the backward pass;
+    the f32 softmax output (4x larger) and the band K/V expansions are
+    recomputed — with the stats saved, that replay is a single fused pass.
+    Saving more (probs and/or band K/V) exceeded HBM at 2048 ctx batch 8;
+    full recompute wasted a forward.
     """
     batch, heads, seq, depth = q.shape
     if seq % block_size != 0:
