@@ -245,6 +245,21 @@ def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: in
         elapsed = time.perf_counter() - start
         produced = len(preprocess.get_processed_files(out))
 
+        # The BASELINE.md row is "preprocess + export-dataset": also time the
+        # .data -> TFRecord export over the produced files.
+        from composer_tpu.data.loader import load_dataset
+        from composer_tpu.data.tfrecord import export_dataset
+
+        dataset = load_dataset(
+            preprocess.get_processed_files(out),
+            batch_size=2,
+            window_size=1024,
+            shuffle=False,
+        )
+        export_start = time.perf_counter()
+        export_dataset(dataset, "transformer", Path(tmp) / "bench.tfrecord")
+        export_elapsed = time.perf_counter() - export_start
+
     files_per_sec = num_files / elapsed
     return {
         "metric": "preprocess_files_per_sec",
@@ -254,6 +269,8 @@ def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: in
         "detail": {
             "input_files": num_files, "output_files": produced,
             "workers": num_workers, "seconds": round(elapsed, 2),
+            "export_seconds": round(export_elapsed, 2),
+            "export_files_per_sec": round(produced / export_elapsed, 1),
         },
     }
 
