@@ -24,6 +24,49 @@ def _timed_once(call):
     return time.perf_counter() - start
 
 
+def _device_seconds_per_call(call, calls: int = 3):
+    """True on-device seconds per call, via a jax.profiler trace.
+
+    Sums the device-plane durations of the decode program's events across
+    ``calls`` invocations. Robust where wall-minus-dispatch-floor is not: the
+    remote-device tunnel's per-RPC latency jitters by ~10 ms between runs,
+    which swamps a ~14-40 ms on-device program. Returns None if no device
+    events are found (e.g. CPU backend).
+    """
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with jax.profiler.trace(tmp):
+            for _ in range(calls):
+                call()
+        traces = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))
+        if not traces:
+            return None
+        with gzip.open(traces[-1]) as fh:
+            events = json.load(fh)["traceEvents"]
+        device_pids = {
+            e["pid"]
+            for e in events
+            if e.get("ph") == "M"
+            and e.get("name") == "process_name"
+            and "TPU" in str(e.get("args", {}).get("name", ""))
+        }
+        total = sum(
+            e["dur"]
+            for e in events
+            if e.get("ph") == "X"
+            and e.get("pid") in device_pids
+            and "dur" in e
+            and "decode" in e.get("name", "")
+        )
+    if total == 0:
+        return None
+    return total / 1e6 / calls
+
+
 def _default_transformer(use_relative_attention: bool, dtype):
     from composer_tpu.models.transformer import Transformer, TransformerConfig
 
@@ -66,7 +109,7 @@ def run_decode_benchmark(
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, 390, (batch_size, prompt_length)).astype(np.int32)
 
-    def timed(gen_length):
+    def make_call(gen_length):
         def call():
             out = generate_ids(
                 model, ModelType.TRANSFORMER, params, prompt,
@@ -74,6 +117,10 @@ def run_decode_benchmark(
             )
             return np.asarray(out)  # force host transfer: the only real sync
 
+        return call
+
+    def timed(gen_length):
+        call = make_call(gen_length)
         call()  # compile + warm up
         times = []
         for _ in range(repeats):
@@ -83,24 +130,20 @@ def run_decode_benchmark(
         return min(times)
 
     best = timed(length)
+    timed_call = make_call(length)
     events_per_sec = batch_size * length / best
 
-    # Marginal (on-device) rate: wall time minus the constant per-dispatch
-    # latency (~24 ms through this environment's remote-device tunnel),
-    # measured as the min cost of a trivial jitted program. (An earlier
-    # length-differencing estimator was far noisier: the tunnel round-trip
-    # jitters by several ms between runs.) Reported for the batch-1
-    # latency workload.
+    # On-device rate via the device profiler (sums the decode program's
+    # device-plane time). Wall-clock in this environment includes a ~24 ms
+    # per-dispatch remote-tunnel latency that jitters by ~10 ms between runs,
+    # so wall-derived estimates (length differencing, wall minus a measured
+    # dispatch floor) both proved unstable; the profiler number is the chip's
+    # actual throughput. Reported for the batch-1 latency workload.
     marginal = None
     if batch_size == 1:
-        trivial = jax.jit(lambda x: x + 1)
-        probe = jnp.zeros((8, 128))
-        np.asarray(trivial(probe))
-        floor = min(
-            _timed_once(lambda: np.asarray(trivial(probe))) for _ in range(10)
-        )
-        on_device = max(best - floor, 1e-9)
-        marginal = round(batch_size * length / on_device, 1)
+        device_seconds = _device_seconds_per_call(timed_call)
+        if device_seconds:
+            marginal = round(batch_size * length / device_seconds, 1)
 
     return {
         "metric": "decode_events_per_sec",
