@@ -103,9 +103,162 @@ def band_causal_attention(
         raise ValueError(
             f"sequence {seq} exceeds relative window {rel_embedding.shape[1]}"
         )
+    num_blocks = q.shape[2] // block_size
+    if num_blocks >= 4 and num_blocks % 2 == 0:
+        # Two-piece block-triangular split: skips 25% of the band work (the
+        # causally-dead g > a half is halved) — see _band_causal_attention_split2.
+        return _band_causal_attention_split2(
+            q, k, v, rel_embedding, scale, block_size, dropout_rng, dropout_rate
+        )
     return _band_causal_attention(
         q, k, v, rel_embedding, scale, block_size, dropout_rng, dropout_rate
     )
+
+
+def _rel_ehat(e_rev, e_rev1, sel0, sel1):
+    """ehat[h,r,g,j,d] = E(distance g*C + r - j) for the given g-range."""
+    return jnp.einsum("rjp,hgpd->hrgjd", sel0, e_rev) + jnp.einsum(
+        "rjp,hgpd->hrgjd", sel1, e_rev1
+    )
+
+
+def _masked_softmax(w):
+    """f32 max-subtracted softmax over the last axis with remat-named stats."""
+    w = jax.ad_checkpoint.checkpoint_name(w, "band_scores")
+    w32 = w.astype(jnp.float32)
+    row_max = jax.ad_checkpoint.checkpoint_name(
+        jax.lax.stop_gradient(jnp.max(w32, axis=-1, keepdims=True)),
+        "band_softmax_stats",
+    )
+    unnormalized = jnp.exp(w32 - row_max)
+    row_sum = jax.ad_checkpoint.checkpoint_name(
+        jnp.sum(unnormalized, axis=-1, keepdims=True), "band_softmax_stats"
+    )
+    return (unnormalized / row_sum).astype(w.dtype)
+
+
+@partial(
+    jax.checkpoint,
+    static_argnums=(4, 5, 7),
+    policy=jax.checkpoint_policies.save_only_these_names(
+        "band_scores", "band_softmax_stats"
+    ),
+)
+def _band_causal_attention_split2(
+    q, k, v, rel_embedding, scale, block_size, dropout_rng, dropout_rate
+):
+    """Band attention with the diagonal-offset axis split in two.
+
+    The rectangular (a, g) band computes A*G block pairs but only the causal
+    half g <= a is real. Splitting at A2 = A/2 keeps every piece rectangular
+    while halving the dead region:
+
+      piece "near": offsets g in [0, A2) for ALL query blocks  (A x A2)
+      piece "far":  offsets g in [A2, A) for query blocks a >= A2 (A2 x A2)
+
+    -> 3/4 of the full rectangle's QK/rel/softmax/PV work, fwd and bwd. Rows
+    a < A2 softmax over the near piece alone; rows a >= A2 softmax over the
+    concatenation [near | far] (one fused row softmax of full width — no
+    online merge needed). The E table slices stay g-contiguous, so the
+    pre-sheared ehat splits for free.
+    """
+    batch, heads, seq, depth = q.shape
+    a_blocks, c = seq // block_size, block_size
+    half = a_blocks // 2
+    dt = q.dtype
+
+    qb = q.reshape(batch, heads, a_blocks, c, depth)
+    kb = k.reshape(batch, heads, a_blocks, c, depth)
+    vb = v.reshape(batch, heads, a_blocks, c, depth)
+
+    # Near piece: kg1[b,h,a,g,j,d] = k[(a-g)*C+j] for g < A2 (zero when g > a).
+    a_i = jnp.arange(a_blocks)[:, None, None]
+    g_i = jnp.arange(half)[None, :, None]
+    c_i = jnp.arange(a_blocks)[None, None, :]
+    sel_near = (a_i - g_i == c_i).astype(dt)  # (A, A2, A)
+    kg1 = jnp.einsum("agc,bhcjd->bhagjd", sel_near, kb)
+    vg1 = jnp.einsum("agc,bhcjd->bhagjd", sel_near, vb)
+
+    # Far piece: query block a = A2+a2, offset g = A2+g2 -> key block a2-g2.
+    sel_far = _block_select(half, dt)  # (A2, A2, A2)
+    qb_far = qb[:, :, half:]
+    kg2 = jnp.einsum("agc,bhcjd->bhagjd", sel_far, kb[:, :, :half])
+    vg2 = jnp.einsum("agc,bhcjd->bhagjd", sel_far, vb[:, :, :half])
+
+    w1a = jnp.einsum("bhard,bhagjd->bhargj", qb[:, :, :half], kg1[:, :, :half])
+    w1b = jnp.einsum("bhard,bhagjd->bhargj", qb_far, kg1[:, :, half:])
+    w2 = jnp.einsum("bhard,bhagjd->bhargj", qb_far, kg2)
+
+    if rel_embedding is not None:
+        window = rel_embedding.shape[1]
+        e_slice = rel_embedding[:, window - seq :, :].astype(dt)
+        e_blk = e_slice.reshape(heads, a_blocks, c, depth)
+        e_rev = e_blk[:, ::-1]
+        e_rev1 = jnp.concatenate(
+            [jnp.zeros_like(e_rev[:, :1]), e_rev[:, :-1]], axis=1
+        )
+        sel0, sel1 = _shift_selects(c, dt)
+        ehat_near = _rel_ehat(e_rev[:, :half], e_rev1[:, :half], sel0, sel1)
+        ehat_far = _rel_ehat(e_rev[:, half:], e_rev1[:, half:], sel0, sel1)
+        w1a = w1a + jnp.einsum("bhard,hrgjd->bhargj", qb[:, :, :half], ehat_near)
+        w1b = w1b + jnp.einsum("bhard,hrgjd->bhargj", qb_far, ehat_near)
+        w2 = w2 + jnp.einsum("bhard,hrgjd->bhargj", qb_far, ehat_far)
+
+    if scale:
+        inv = lax.rsqrt(jnp.asarray(depth, dt))
+        w1a, w1b, w2 = w1a * inv, w1b * inv, w2 * inv
+
+    neg = jnp.asarray(1e4, dt)
+    # diag rule: offset-0 blocks are the diagonal -> r >= j; others in the
+    # near piece are fully valid for their rows.
+    diag_ok = (jnp.arange(half)[:, None, None] >= 1) | (
+        jnp.arange(c)[None, :, None] >= jnp.arange(c)[None, None, :]
+    )  # (g, r, j)
+    diag_rgj = diag_ok.transpose(1, 0, 2)[None]  # (1, r, g, j)
+    # Rows a < A2: additionally ragged in g (g <= a).
+    a_ok = (
+        jnp.arange(half)[:, None] >= jnp.arange(half)[None, :]
+    )  # (a, g)
+    b1a = (a_ok[:, None, :, None] & diag_rgj).astype(dt)
+    w1a = w1a * b1a - neg * (1 - b1a)
+    # Rows a >= A2, near offsets: g < A2 <= a always valid except diag rule.
+    b1b = diag_rgj.astype(dt)
+    w1b = w1b * b1b - neg * (1 - b1b)
+    # Far offsets: g2 <= a2 raggedness only (never the diagonal: g >= A2 > 0).
+    b2 = a_ok[:, None, :, None].astype(dt)
+    w2 = w2 * b2 - neg * (1 - b2)
+
+    w_near_rows = w1a.reshape(batch, heads, half, c, half * c)
+    w_far_rows = jnp.concatenate(
+        [
+            w1b.reshape(batch, heads, half, c, half * c),
+            w2.reshape(batch, heads, half, c, half * c),
+        ],
+        axis=-1,
+    )  # (B, H, A2, C, A*C); columns = [near slots | far slots]
+
+    probs_near = _masked_softmax(w_near_rows)
+    probs_far = _masked_softmax(w_far_rows)
+
+    if dropout_rng is not None and dropout_rate > 0.0:
+        k_near, k_far = jax.random.split(dropout_rng)
+        keep = jax.random.bernoulli(k_near, 1.0 - dropout_rate, probs_near.shape)
+        probs_near = probs_near * keep.astype(dt) / (1.0 - dropout_rate)
+        keep = jax.random.bernoulli(k_far, 1.0 - dropout_rate, probs_far.shape)
+        probs_far = probs_far * keep.astype(dt) / (1.0 - dropout_rate)
+
+    vg_near_rows = vg1[:, :, :half].reshape(batch, heads, half, half * c, depth)
+    vg_far_rows = jnp.concatenate(
+        [
+            vg1[:, :, half:].reshape(batch, heads, half, half * c, depth),
+            vg2.reshape(batch, heads, half, half * c, depth),
+        ],
+        axis=3,
+    )  # (B, H, A2, A*C, D); same column order as w_far_rows
+    out_near = jnp.einsum("bharK,bhaKd->bhard", probs_near, vg_near_rows)
+    out_far = jnp.einsum("bharK,bhaKd->bhard", probs_far, vg_far_rows)
+    out = jnp.concatenate([out_near, out_far], axis=2)
+    return out.reshape(batch, heads, seq, depth)
 
 
 @partial(
