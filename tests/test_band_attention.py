@@ -90,3 +90,26 @@ def test_band_rejects_bad_sizes():
     q = jnp.zeros((1, 1, 128, 8))
     with pytest.raises(ValueError):
         band_causal_attention(q, q, q, jnp.zeros((1, 64, 8)), block_size=64)
+
+
+def test_band_deep_split_matches_full():
+    """16 blocks routes through the ns=8 block-triangular split."""
+    B, H, S, D = 1, 2, 512, 8
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(keys[0], (B, H, S, D))
+    k = jax.random.normal(keys[1], (B, H, S, D))
+    v = jax.random.normal(keys[2], (B, H, S, D))
+    E = jax.random.normal(keys[3], (H, S, D))
+    full = full_attention.multihead_attention(q, k, v, rel_embedding=E, scale=True)
+    band = band_causal_attention(q, k, v, E, scale=True, block_size=32)
+    np.testing.assert_allclose(np.asarray(band), np.asarray(full), rtol=2e-5, atol=2e-5)
+
+    def loss_full(q):
+        return jnp.sum(full_attention.multihead_attention(q, k, v, rel_embedding=E) ** 2)
+
+    def loss_band(q):
+        return jnp.sum(band_causal_attention(q, k, v, E, block_size=32) ** 2)
+
+    gf = jax.grad(loss_full)(q)
+    gb = jax.grad(loss_band)(q)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gf), rtol=5e-5, atol=5e-5)
