@@ -113,3 +113,16 @@ def test_band_deep_split_matches_full():
     gf = jax.grad(loss_full)(q)
     gb = jax.grad(loss_band)(q)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gf), rtol=5e-5, atol=5e-5)
+
+
+def test_band_odd_block_rows_split():
+    """A=6 routes through ns=2 with an odd 3-block row group."""
+    B, H, S, D = 1, 2, 192, 8
+    keys = jax.random.split(jax.random.PRNGKey(8), 4)
+    q = jax.random.normal(keys[0], (B, H, S, D))
+    k = jax.random.normal(keys[1], (B, H, S, D))
+    v = jax.random.normal(keys[2], (B, H, S, D))
+    E = jax.random.normal(keys[3], (H, S, D))
+    full = full_attention.multihead_attention(q, k, v, rel_embedding=E, scale=True)
+    band = band_causal_attention(q, k, v, E, scale=True, block_size=32)
+    np.testing.assert_allclose(np.asarray(band), np.asarray(full), rtol=2e-5, atol=2e-5)
