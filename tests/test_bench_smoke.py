@@ -1,0 +1,47 @@
+"""Benchmark harness smoke tests: every bench function runs (tiny shapes,
+CPU) and returns the schema bench.py/the driver expect.
+
+These exist because the harness once silently measured dispatch-only time
+(block_until_ready is a no-op on the axon backend); keeping each entry
+callable and schema-correct is cheap insurance for the recorded tables.
+"""
+
+import jax
+import pytest
+
+from composer_tpu import bench
+
+
+def _check_schema(result):
+    assert set(result) >= {"metric", "value", "unit", "vs_baseline", "detail"}
+    assert result["value"] > 0
+
+
+def test_decode_benchmark_smoke():
+    _check_schema(bench.run_decode_benchmark(length=12, prompt_length=4, repeats=1))
+
+
+def test_batched_decode_benchmark_smoke():
+    _check_schema(
+        bench.run_batched_decode_benchmark(
+            batch_size=2, length=12, prompt_length=4, repeats=1
+        )
+    )
+
+
+def test_rnn_decode_benchmark_smoke():
+    _check_schema(bench.run_rnn_decode_benchmark(length=12, batch_size=2, repeats=1))
+
+
+def test_preprocess_benchmark_smoke():
+    result = bench.run_preprocess_benchmark(num_files=2)
+    _check_schema(result)
+    assert result["detail"]["export_files_per_sec"] > 0
+
+
+def test_train_benchmark_smoke():
+    _check_schema(bench.run_train_benchmark(batch_size=2, window_size=64, steps=1))
+
+
+def test_rnn_train_benchmark_smoke():
+    _check_schema(bench.run_rnn_train_benchmark(batch_size=2, window_size=16, steps=1))
