@@ -181,6 +181,31 @@ def _transform_flags(files, transform, transform_percent):
     return flags
 
 
+
+def _convert_batch(kwargs, num_workers, show_progress_bar):
+    """Runs convert_file over a batch, skipping (and logging) bad files.
+
+    Returns the number of successfully converted inputs. One corrupt MIDI
+    must not abort a corpus-sized run (the reference stored exceptions in
+    the results list and kept going, utils.py:61-66); failures are logged
+    per file with the exception message.
+    """
+    results = parallel_map(
+        kwargs, convert_file, num_workers=num_workers, use_kwargs=True,
+        show_progress_bar=show_progress_bar, return_exceptions=True,
+    )
+    converted = 0
+    for item, result in zip(kwargs, results):
+        if isinstance(result, Exception):
+            logging.error(
+                "Skipping '%s': %s: %s",
+                item["filepath"], type(result).__name__, result,
+            )
+        else:
+            converted += 1
+    return converted
+
+
 def convert_all(
     config,
     dataset_path,
@@ -205,11 +230,11 @@ def convert_all(
     files = get_midi_files(dataset_path)
     flags = _transform_flags(files, transform, transform_percent)
     kwargs = _build_kwargs(config, files, flags, output_path, sustain_period_encode_mode, seed)
-    parallel_map(
-        kwargs, convert_file, num_workers=num_workers, use_kwargs=True,
-        show_progress_bar=show_progress_bar,
+    converted = _convert_batch(kwargs, num_workers, show_progress_bar)
+    logging.info(
+        "Preprocessed %d of %d MIDI files into '%s'.",
+        converted, len(files), output_path,
     )
-    logging.info("Preprocessed %d MIDI files into '%s'.", len(files), output_path)
 
 
 def split_dataset(
@@ -247,23 +272,15 @@ def split_dataset(
     test_path.mkdir(exist_ok=True, parents=True)
 
     train_flags = _transform_flags(train_files, transform, transform_percent)
-    parallel_map(
+    converted_train = _convert_batch(
         _build_kwargs(config, train_files, train_flags, train_path, sustain_period_encode_mode, seed),
-        convert_file,
-        num_workers=num_workers,
-        use_kwargs=True,
-        show_progress_bar=show_progress_bar,
+        num_workers, show_progress_bar,
     )
-    parallel_map(
+    converted_test = _convert_batch(
         _build_kwargs(config, test_files, {}, test_path, sustain_period_encode_mode, seed),
-        convert_file,
-        num_workers=num_workers,
-        use_kwargs=True,
-        show_progress_bar=show_progress_bar,
+        num_workers, show_progress_bar,
     )
     logging.info(
-        "Preprocessed %d train / %d test MIDI files into '%s'.",
-        len(train_files),
-        len(test_files),
-        root,
+        "Preprocessed %d of %d train / %d of %d test MIDI files into '%s'.",
+        converted_train, len(train_files), converted_test, len(test_files), root,
     )

@@ -285,3 +285,37 @@ def test_truncated_payload_crc_raises_dataset_error(tmp_path):
     path.write_bytes(data[:-2])  # cut inside the trailing payload CRC
     with pytest.raises(DatasetError):
         list(tfrecord.read_records(path))
+
+
+def test_convert_all_skips_bad_files(midi_dataset, tmp_path, default_config, caplog):
+    """One unparseable MIDI must not abort the corpus (the reference stored
+    exceptions in results and kept going); it is logged and skipped."""
+    import logging
+
+    (midi_dataset / "broken.mid").write_bytes(b"this is not a midi file")
+    out = tmp_path / "processed"
+    with caplog.at_level(logging.ERROR):
+        preprocess.convert_all(
+            default_config, midi_dataset, out, "extend",
+            transform=False, transform_percent=1.0,
+            num_workers=1, seed=0, show_progress_bar=False,
+        )
+    produced = preprocess.get_processed_files(out)
+    assert len(produced) == 4  # all good files converted
+    assert any("broken.mid" in rec.message for rec in caplog.records)
+
+
+def test_split_dataset_skips_bad_files(midi_dataset, tmp_path, default_config):
+    (midi_dataset / "broken.mid").write_bytes(b"junk")
+    out = tmp_path / "split"
+    preprocess.split_dataset(
+        default_config, midi_dataset, out, "extend", 0.5,
+        transform=False, transform_percent=1.0,
+        num_workers=1, seed=0, show_progress_bar=False,
+    )
+    # 5 glob entries split 2/3 (test_percent 0.5); the bad file lands in one
+    # subset and is skipped there, all real files convert.
+    produced = len(preprocess.get_processed_files(out / "train")) + len(
+        preprocess.get_processed_files(out / "test")
+    )
+    assert produced == 4
