@@ -494,6 +494,12 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
         )
         event_sequence.events = event_sequence.events[:prompt_length]
         prompt_ids = event_sequence.to_ids().astype(np.int32)
+        if prompt_ids.size == 0:
+            raise InvalidParameterError(
+                f"Prompt MIDI '{prompt}' contains no events after encoding; "
+                "use a file with at least one note (or omit --prompt for a "
+                "random seed prompt)."
+            )
     else:
         # New capability (the reference raised NotImplementedError,
         # cli.py:642-643): seed with a random NOTE_ON at moderate velocity.

@@ -222,13 +222,18 @@ def _decode_kernel(
                 # ONE dynamic roll fixes the sub-tile offset. The C zero-pad
                 # rows absorb distances beyond the table (reference order:
                 # bias added before scaling, transformer.py:341-348).
-                start = window - 1 - position
+                # Leading zero rows keep the slice start positive when the
+                # query position exceeds the window (cache_len > window):
+                # distances beyond the table then read zeros, matching the
+                # old full-table roll's wraparound semantics.
+                lead = _round_up(cache_len, 128)
+                start = lead + window - 1 - position
                 aligned = pl.multiple_of((start // 128) * 128, 128)
                 band = jax.lax.dot_general(
                     qb, rel_pad_ref[layer, pl.ds(aligned, cache_len + 128), :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (H, C + 128); lane m holds E row (aligned + m)
+                )  # (H, C + 128); lane m holds padded-E row (aligned + m)
                 delta = start - aligned  # in [0, 128)
                 rolled = pltpu.roll(band, cache_len + 128 - delta, axis=1)
                 scores = scores + rolled[:, :cache_len]
@@ -400,11 +405,13 @@ def _megakernel_decode_impl(
     out_len = num_steps - prompt.shape[0] + 1
 
     if use_rel:
-        # Trailing zero rows absorb out-of-table distances (future slots,
-        # causally masked) and keep the kernel's 128-aligned (cache_len+128)
-        # band slice in bounds for any window size / query position.
+        # Leading zero rows cover positions past the window (negative slice
+        # starts wrap into zeros = no bias, the old roll semantics); trailing
+        # zero rows absorb future-slot distances and keep the 128-aligned
+        # (cache_len+128) band slice in bounds.
+        lead = _round_up(cache_len, 128)
         rel_pad = jnp.pad(
-            packed["rel_rows"], ((0, 0), (0, cache_len + 128), (0, 0))
+            packed["rel_rows"], ((0, 0), (lead, cache_len + 128), (0, 0))
         )
     else:
         rel_pad = packed["rel_rows"]  # small dummy

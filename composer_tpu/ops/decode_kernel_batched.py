@@ -34,6 +34,7 @@ from composer_tpu.ops.decode_kernel import (
     _gelu_tanh,
     _layernorm,
     _matmul,
+    _round_up,
     _standardize,
 )
 
@@ -152,7 +153,7 @@ def _batched_kernel(
                 # dynamic roll fixes the sub-tile offset; zero padding absorbs
                 # out-of-table distances. All sequences share the table, so
                 # this stays one (B*R)-row matmul (no cross-sequence waste).
-                rel_start = window - 1 - position
+                rel_start = _round_up(C, 128) + window - 1 - position
                 rel_aligned = pl.multiple_of((rel_start // 128) * 128, 128)
                 band = jax.lax.dot_general(
                     qb, rel_pad_ref[layer, pl.ds(rel_aligned, C + 128), :],
@@ -254,10 +255,12 @@ def _batched_impl(
     num_steps = prompt_len + length - 1
 
     if use_rel:
-        # cache_len+128 trailing zero rows: absorb out-of-table distances and
-        # keep the kernel's 128-aligned (C+128)-row band slice in bounds.
+        # Leading zeros cover positions past the window; trailing zeros
+        # absorb out-of-table distances and keep the 128-aligned (C+128)-row
+        # band slice in bounds (see ops/decode_kernel.py).
         rel_pad = jnp.pad(
-            packed["rel_rows"], ((0, 0), (0, cache_len + 128), (0, 0))
+            packed["rel_rows"],
+            ((0, 0), (_round_up(cache_len, 128), cache_len + 128), (0, 0)),
         )
     else:
         rel_pad = packed["rel_rows"]  # small dummy
