@@ -412,8 +412,20 @@ class Trainer:
     # ------------------------------------------------------------- restoring
     def restore(self, logdir, batch_size: int, window_size: int) -> TrainState:
         """Restores the latest checkpoint under ``logdir``."""
+        from composer_tpu.exceptions import CheckpointError
+
         template = self.init_state(batch_size, window_size)
         template_dict = flax.serialization.to_state_dict(template)
         checkpoints = CheckpointManager(Path(logdir))
-        restored = checkpoints.restore(abstract_like(template_dict))
+        try:
+            restored = checkpoints.restore(abstract_like(template_dict))
+        except CheckpointError:
+            raise
+        except Exception as error:
+            raise CheckpointError(
+                f"Checkpoint under '{logdir}' does not match the "
+                f"{type(self.model).__name__} being restored (wrong "
+                f"--model-type for this run, or an incompatible config?): "
+                f"{error}"
+            ) from error
         return flax.serialization.from_state_dict(template, restored)
