@@ -12,6 +12,9 @@ import os
 # runs, so env vars are too late — use jax.config (the backend itself is not
 # initialized until the first device access, so these still take effect).
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+# The reference-parity tests (tests/_reference.py) need Keras 2 semantics;
+# the flag must be set before any test imports tensorflow.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
 import jax
 
