@@ -9,6 +9,7 @@ TPU v5e-1; ``vs_baseline`` reports value / 50,000.
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -54,14 +55,32 @@ def _device_seconds_per_call(call, calls: int = 3):
             and e.get("name") == "process_name"
             and "TPU" in str(e.get("args", {}).get("name", ""))
         }
-        total = sum(
-            e["dur"]
+        device_complete = [
+            e
             for e in events
-            if e.get("ph") == "X"
-            and e.get("pid") in device_pids
-            and "dur" in e
-            and "decode" in e.get("name", "")
-        )
+            if e.get("ph") == "X" and e.get("pid") in device_pids and "dur" in e
+        ]
+        # Prefer the top-level XLA module events (named 'jit_<fn>' on the
+        # device plane's module row): summing every event whose name merely
+        # contains 'decode' would double-count nested op rows of the same
+        # program.
+        module_events = [
+            e
+            for e in device_complete
+            if e.get("name", "").startswith("jit_") and "decode" in e["name"]
+        ]
+        if module_events:
+            total = sum(e["dur"] for e in module_events)
+        else:
+            total = sum(
+                e["dur"] for e in device_complete if "decode" in e.get("name", "")
+            )
+            if total:
+                print(
+                    "bench: no 'jit_*decode*' module events found; fell back to "
+                    "substring matching (may double-count nested ops)",
+                    file=sys.stderr,
+                )
     if total == 0:
         return None
     return total / 1e6 / calls

@@ -8,6 +8,7 @@ module keeps the factory/registry shape so the CLI surface is unchanged.
 
 from __future__ import annotations
 
+import logging
 from enum import Enum, unique
 
 from composer_tpu.exceptions import InvalidParameterError
@@ -35,18 +36,29 @@ def get_event_vocab_size(config) -> int:
 def _compute_dtype(model_section):
     """Compute dtype for a model section: bf16 on TPU, f32 elsewhere.
 
-    ``mixed_precision: true`` (the default) runs activations/matmuls in
-    bfloat16 on TPU accelerators while parameters and the optimizer stay
-    float32 — the idiomatic TPU training setup (the MXU's native input
-    precision, f32 accumulation). CPU runs stay float32 so golden tests and
-    cross-platform comparisons are deterministic. Set
-    ``mixed_precision: false`` in the model config for full-f32 numerics on
-    TPU (the reference's TF-default behavior).
+    ``mixed_precision: true`` (set in the shipped default_config.yml) runs
+    activations/matmuls in bfloat16 on TPU accelerators while parameters and
+    the optimizer stay float32 — the idiomatic TPU training setup (the MXU's
+    native input precision, f32 accumulation). CPU runs stay float32 so
+    golden tests and cross-platform comparisons are deterministic.
+
+    Configs that predate the key (no ``mixed_precision`` entry) stay at the
+    reference's full-f32 numerics rather than being silently upgraded; the
+    choice is logged once either way when running on TPU.
     """
     import jax
     import jax.numpy as jnp
 
-    if bool(model_section.get("mixed_precision", True)) and jax.default_backend() == "tpu":
+    if jax.default_backend() != "tpu":
+        return jnp.float32
+    if "mixed_precision" not in model_section:
+        logging.getLogger(__name__).info(
+            "mixed_precision not set in config; keeping float32 numerics "
+            "(add 'mixed_precision: true' for bfloat16 TPU training)"
+        )
+        return jnp.float32
+    if bool(model_section["mixed_precision"]):
+        logging.getLogger(__name__).info("mixed_precision: bfloat16 compute enabled")
         return jnp.bfloat16
     return jnp.float32
 

@@ -128,6 +128,7 @@ def multihead_attention(
 
     if (
         band_block_size
+        and not use_pallas  # an explicit Pallas request wins over the band default
         and s_q == s_k
         and s_q % band_block_size == 0
         and q_position is None

@@ -89,6 +89,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def make_global_batch(mesh: Mesh, local_batch) -> jax.Array:
+    """Assembles per-host local batch rows into one global batch-sharded array.
+
+    In a multi-host runtime each process loads only its shard of the batch
+    (data/loader.py ``shard_count``/``shard_index``); this glues those local
+    rows into a single global array laid out over the mesh's data axis. The
+    global batch size is ``local rows x process_count``.
+    """
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.asarray(local_batch)
+    )
+
+
 def logical_to_mesh_sharding(logical_specs, mesh: Mesh):
     """Resolves flax logical annotations to NamedShardings under the rules."""
     return nn.logical_to_mesh_sharding(logical_specs, mesh, LOGICAL_AXIS_RULES)

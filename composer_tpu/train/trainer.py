@@ -220,6 +220,13 @@ class Trainer:
     def _place_batch(self, x, y):
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(y)
+        if jax.process_count() > 1:
+            # Multi-host: each process holds only its rows of the global
+            # batch (the loader's per-host sharding); assemble them.
+            return (
+                mesh_lib.make_global_batch(self.mesh, x),
+                mesh_lib.make_global_batch(self.mesh, y),
+            )
         sharding = mesh_lib.batch_sharding(self.mesh)
         return jax.device_put(x, sharding), jax.device_put(y, sharding)
 
@@ -301,32 +308,37 @@ class Trainer:
                     )
                     pending.clear()
 
-                for x, y in dataset:
-                    x, y = self._place_batch(x, y)
-                    rng, step_rng = jax.random.split(rng)
+                try:
+                    for x, y in dataset:
+                        x, y = self._place_batch(x, y)
+                        rng, step_rng = jax.random.split(rng)
 
-                    if profile_dir is not None and global_step + 1 == 2:
-                        jax.profiler.start_trace(str(profile_dir))
-                    state, metrics, carry = self.train_step(
-                        state, x, y, step_rng, carry
-                    )
-                    global_step += 1
-                    if profile_dir is not None and global_step == 2 + profile_steps:
-                        np.asarray(metrics["loss"])  # force completion
-                        jax.profiler.stop_trace()
-                        profile_dir = None
+                        if profile_dir is not None and global_step + 1 == 2:
+                            jax.profiler.start_trace(str(profile_dir))
+                        state, metrics, carry = self.train_step(
+                            state, x, y, step_rng, carry
+                        )
+                        global_step += 1
+                        if profile_dir is not None and global_step == 2 + profile_steps:
+                            np.asarray(metrics["loss"])  # force completion
+                            jax.profiler.stop_trace()
+                            profile_dir = None
 
-                    pending.append((global_step, metrics))
-                    drain()
-                    progress.update(1)
+                        pending.append((global_step, metrics))
+                        drain()
+                        progress.update(1)
 
-                    if (
-                        save_frequency_mode == ModelSaveFrequencyMode.GLOBAL_STEP
-                        and global_step % save_frequency == 0
-                    ):
-                        checkpoints.save(global_step, flax.serialization.to_state_dict(state))
-
-                drain(force=True)
+                        if (
+                            save_frequency_mode == ModelSaveFrequencyMode.GLOBAL_STEP
+                            and global_step % save_frequency == 0
+                        ):
+                            checkpoints.save(global_step, flax.serialization.to_state_dict(state))
+                finally:
+                    # Flush already-computed step metrics even when an
+                    # exception (checkpoint failure, KeyboardInterrupt)
+                    # escapes mid-epoch; a clean exit drains here too (the
+                    # second call below is then a no-op).
+                    drain(force=True)
                 elapsed = time.perf_counter() - epoch_start
                 if batch_count:
                     writer.scalar("epoch_loss", epoch_loss / batch_count, current_epoch)
