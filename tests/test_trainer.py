@@ -130,6 +130,51 @@ def test_data_parallel_training_matches_single_device(tmp_path):
         )
 
 
+def test_data_parallel_production_shape_matches_single_device():
+    """DP equivalence at the reference workload shape (scaled in batch):
+    window 256, relative attention ON, band-coordinate attention active
+    (band_block_size 128 — the production training path), 8-device mesh."""
+    assert jax.device_count() >= 8
+    window = 256
+    config = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=32, window_size=window, num_layers=2,
+        num_heads=4, use_relative_attention=True, band_block_size=128,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    dataset = WindowDataset(
+        _toy_stream(3 * 8 * (window + 1)), batch_size=8, window_size=window,
+        shuffle=False,
+    )
+
+    single = Trainer(Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state_s = single.init_state(8, window)
+
+    mesh = create_mesh(data=8, model=1)
+    parallel = Trainer(
+        Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
+    )
+    state_p = parallel.init_state(8, window)
+
+    rng = jax.random.PRNGKey(0)
+    for x, y in dataset:
+        rng, step_rng = jax.random.split(rng)
+        state_s, metrics_s, _ = single.train_step(
+            state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
+        )
+        xp, yp = parallel._place_batch(x, y)
+        state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=1e-5
+        )
+    # After 3 steps the parameter trees must still agree (gradient parity,
+    # not just the scalar loss).
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(state_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_fused_evaluate_matches_per_batch_loop():
     """evaluate() scans batches in chunks (one dispatch per chunk instead of
     one per batch); the metrics and the threaded RNN carry must match the
