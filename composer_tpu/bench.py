@@ -344,8 +344,15 @@ def run_train_benchmark(
     steps: int = 5,
     dtype=None,
     seed: int = 0,
+    attention_chunk_size: int = 0,
+    remat: bool = False,
 ):
-    """Training step time for the relative-attention config (BASELINE.md row 5)."""
+    """Training step time for the relative-attention config (BASELINE.md row 5).
+
+    ``attention_chunk_size``/``remat`` select the long-context recipe: q-chunked
+    attention (O(S*chunk) live scores) + rematerialized blocks, which fits
+    batch 32 x 2048 ctx in the 15.75 GB HBM where the exact band path OOMs.
+    """
     from composer_tpu.models import ModelType
     from composer_tpu.models.transformer import Transformer, TransformerConfig
     from composer_tpu.train.trainer import Trainer
@@ -359,6 +366,7 @@ def run_train_benchmark(
         vocab_size=390, embed_dim=256, window_size=window_size,
         num_layers=8, num_heads=16, use_relative_attention=use_relative_attention,
         attention_dropout_rate=0.0, residual_dropout_rate=0.0, dtype=dtype,
+        attention_chunk_size=attention_chunk_size, remat=remat,
     )
     trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-3, seed=seed)
     state = trainer.init_state(batch_size, window_size)
@@ -456,6 +464,13 @@ def run_all(write_markdown=True):
         (
             "train step (relative attention, 2048 ctx)",
             lambda: run_train_benchmark(batch_size=8, window_size=2048),
+        ),
+        (
+            "train step (batch 32 x 2048, chunked + remat)",
+            lambda: run_train_benchmark(
+                batch_size=32, window_size=2048,
+                attention_chunk_size=256, remat=True, steps=3,
+            ),
         ),
         (
             "LSTM baseline train step (batch 64 x 200)",

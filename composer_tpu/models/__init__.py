@@ -91,6 +91,11 @@ def create_model(model_type: ModelType, config, **overrides):
             initializer_mean=float(section.initializer_mean),
             initializer_stddev=float(section.initializer_stddev),
             use_layer_norm=bool(section.use_layer_normalization),
+            # Long-context / attention-path knobs (absent keys keep the
+            # TransformerConfig defaults: band path on, chunking off).
+            band_block_size=int(section.get("band_block_size", 128)),
+            attention_chunk_size=int(section.get("attention_chunk_size", 0)),
+            remat=bool(section.get("remat", False)),
             **overrides,
         )
         return Transformer(model_config), vocab_size

@@ -166,7 +166,6 @@ class SelfAttention(nn.Module):
         if (
             config.attention_chunk_size
             and layer_cache is None
-            and dropout_rng is None
             and seq % config.attention_chunk_size == 0
             and seq > config.attention_chunk_size
         ):
@@ -176,6 +175,8 @@ class SelfAttention(nn.Module):
                 q, k, v, rel_embedding,
                 scale=config.scale_attention,
                 chunk_size=config.attention_chunk_size,
+                dropout_rng=dropout_rng,
+                dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
             )
         else:
             out = attention_ops.multihead_attention(

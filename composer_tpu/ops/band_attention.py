@@ -122,10 +122,15 @@ def band_causal_attention(
 
 
 def _rel_ehat(e_rev, e_rev1, sel0, sel1):
-    """ehat[h,r,g,j,d] = E(distance g*C + r - j) for the given g-range."""
-    return jnp.einsum("rjp,hgpd->hrgjd", sel0, e_rev) + jnp.einsum(
-        "rjp,hgpd->hrgjd", sel1, e_rev1
-    )
+    """ehat[h,r,g,j,d] = E(distance g*C + r - j) for the given g-range.
+
+    The low/high-block selections are fused into ONE contraction over a
+    doubled p axis (the one-hot blocks are disjoint, so concatenation is
+    exact): half the MXU dispatches of the two-einsum form.
+    """
+    sel = jnp.concatenate([sel0, sel1], axis=2)  # (r, j, 2C)
+    e_cat = jnp.concatenate([e_rev, e_rev1], axis=2)  # (h, g, 2C, d)
+    return jnp.einsum("rjp,hgpd->hrgjd", sel, e_cat)
 
 
 def _masked_softmax(w):
@@ -302,9 +307,7 @@ def _band_causal_attention(
         # Then the bias is one q.ehat matmul straight into band layout —
         # measured ~4x faster than the skew chain at 2048 ctx (TODO.md).
         sel0, sel1 = _shift_selects(c, dt)
-        ehat = jnp.einsum("rjp,hgpd->hrgjd", sel0, e_rev) + jnp.einsum(
-            "rjp,hgpd->hrgjd", sel1, e_rev1
-        )
+        ehat = _rel_ehat(e_rev, e_rev1, sel0, sel1)
         w = w + jnp.einsum("bhard,hrgjd->bhargj", qb, ehat)
 
     if scale:

@@ -44,9 +44,15 @@ def chunked_causal_attention(
     *,
     scale: bool = True,
     chunk_size: int = 128,
+    dropout_rng=None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
     """Causal attention over [B, H, S, D] computing scores one q-chunk at a
-    time. Differentiable; O(S * chunk) live scores."""
+    time. Differentiable; O(S * chunk) live scores.
+
+    Attention dropout folds the chunk index into ``dropout_rng`` so each
+    chunk's probabilities get an independent mask (same keep probability as
+    the unchunked path; the mask pattern itself necessarily differs)."""
     batch, heads, seq, depth = q.shape
     if seq % chunk_size != 0:
         raise ValueError(f"sequence {seq} not a multiple of chunk {chunk_size}")
@@ -94,6 +100,13 @@ def chunked_causal_attention(
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             compute_dtype
         )
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, chunk_index),
+                1.0 - dropout_rate,
+                weights.shape,
+            )
+            weights = weights * keep.astype(compute_dtype) / (1.0 - dropout_rate)
         return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
     # Remat the chunk body: without it, autodiff through the scan stacks every

@@ -66,3 +66,55 @@ def test_chunked_gradient_is_rematerialized():
 
     jaxpr = str(jax.make_jaxpr(jax.grad(loss))(q))
     assert "remat" in jaxpr or "checkpoint" in jaxpr
+
+
+def test_chunked_dropout_statistics_and_determinism():
+    """Attention dropout in the chunked path: deterministic under the same
+    rng, ~keep-rate fraction of zeros, unbiased scaling, independent masks
+    per chunk."""
+    B, H, S, D, rate = 2, 2, 128, 8, 0.5
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(keys[0], (B, H, S, D))
+    k = jax.random.normal(keys[1], (B, H, S, D))
+    v = jax.random.normal(keys[2], (B, H, S, D))
+    rng = jax.random.PRNGKey(7)
+
+    kwargs = dict(scale=True, chunk_size=32, dropout_rate=rate)
+    a = chunked_causal_attention(q, k, v, dropout_rng=rng, **kwargs)
+    b = chunked_causal_attention(q, k, v, dropout_rng=rng, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    c = chunked_causal_attention(
+        q, k, v, dropout_rng=jax.random.PRNGKey(8), **kwargs
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    no_drop = chunked_causal_attention(q, k, v, scale=True, chunk_size=32)
+    assert not np.allclose(np.asarray(a), np.asarray(no_drop))
+    # Unbiasedness: averaging many dropout draws approaches the clean output.
+    draws = [
+        chunked_causal_attention(
+            q, k, v, dropout_rng=jax.random.PRNGKey(100 + i), **kwargs
+        )
+        for i in range(24)
+    ]
+    mean = np.mean([np.asarray(d) for d in draws], axis=0)
+    err = np.abs(mean - np.asarray(no_drop)).mean()
+    scale_ref = np.abs(np.asarray(no_drop)).mean()
+    assert err < 0.25 * scale_ref, (err, scale_ref)
+
+
+def test_chunked_dropout_gradient_flows():
+    B, H, S, D = 1, 2, 64, 8
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D))
+
+    def loss(q):
+        out = chunked_causal_attention(
+            q, q, q, chunk_size=32, dropout_rng=jax.random.PRNGKey(1),
+            dropout_rate=0.3,
+        )
+        return jnp.sum(out ** 2)
+
+    grad = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).sum()) > 0

@@ -194,3 +194,67 @@ def test_band_path_gradients_match_skew_path():
     flat_skew, _ = jax.tree_util.tree_flatten(g_skew)
     for gb, gs in zip(flat_band, flat_skew):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gs), rtol=5e-5, atol=5e-5)
+
+
+def test_long_context_chunked_remat_train_step_matches_exact():
+    """The batch-32-x-2048 training recipe (attention_chunk_size + remat +
+    rel attention), scaled down for CPU: the chunked+remat train step must
+    reproduce the exact path's loss and gradients (dropout off)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composer_tpu.models import ModelType
+    from composer_tpu.train.trainer import Trainer
+
+    window, batch = 256, 4
+    base = dict(
+        vocab_size=90, embed_dim=32, window_size=window, num_layers=2,
+        num_heads=4, use_relative_attention=True, attention_dropout_rate=0.0,
+        residual_dropout_rate=0.0,
+    )
+    exact = TransformerConfig(**base, band_block_size=0)
+    chunked = TransformerConfig(
+        **base, band_block_size=0, attention_chunk_size=64, remat=True
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 90, (batch, window)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 90, (batch, window)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    losses = {}
+    params = {}
+    for name, config in (("exact", exact), ("chunked", chunked)):
+        trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-2, seed=0)
+        state = trainer.init_state(batch, window)
+        seq = []
+        for _ in range(2):
+            state, metrics, _ = trainer.train_step(state, x, y, key, None)
+            seq.append(float(metrics["loss"]))
+        losses[name] = seq
+        params[name] = state.params
+
+    np.testing.assert_allclose(losses["chunked"], losses["exact"], rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params["exact"]),
+        jax.tree_util.tree_leaves(params["chunked"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_factory_reads_long_context_keys():
+    """band_block_size / attention_chunk_size / remat flow from the YAML
+    config into TransformerConfig."""
+    import composer_tpu.config as config_lib
+    from composer_tpu.models import ModelType, create_model
+
+    config = config_lib.get_default()
+    section = config.transformer.model
+    section["attention_chunk_size"] = 128
+    section["remat"] = True
+    section["band_block_size"] = 64
+    model, _ = create_model(ModelType.TRANSFORMER, config)
+    assert model.config.attention_chunk_size == 128
+    assert model.config.remat is True
+    assert model.config.band_block_size == 64
