@@ -466,10 +466,13 @@ def run_all(write_markdown=True):
             lambda: run_train_benchmark(batch_size=8, window_size=2048),
         ),
         (
-            "train step (batch 32 x 2048, chunked + remat)",
+            # Measured on v5e-1: band+remat 1.31 s/step (50k tok/s) vs
+            # chunked(256)+remat 3.89 s/step — block remat alone fits batch 32
+            # in HBM and keeps the fast band attention; chunking is the
+            # fallback for shapes where even remat OOMs.
+            "train step (batch 32 x 2048, band attention + remat)",
             lambda: run_train_benchmark(
-                batch_size=32, window_size=2048,
-                attention_chunk_size=256, remat=True, steps=3,
+                batch_size=32, window_size=2048, remat=True, steps=3,
             ),
         ),
         (
@@ -494,19 +497,23 @@ def run_all(write_markdown=True):
             "The reference publishes no numbers (BASELINE.md); the north-star "
             "target is 50k decode events/sec/chip.",
             "",
-            "| Workload | Metric | Value | Detail |",
-            "|---|---|---|---|",
+            "| Workload | Metric | Value | vs 50k north star | Detail |",
+            "|---|---|---|---|---|",
         ]
         for result in results:
             if "error" in result:
-                lines.append(f"| {result['workload']} | — | error | {result['error']} |")
+                lines.append(
+                    f"| {result['workload']} | — | error | — | {result['error']} |"
+                )
                 continue
             detail = ", ".join(
                 f"{k}={v}" for k, v in result.get("detail", {}).items()
             )
+            vs = result.get("vs_baseline")
+            vs_text = f"{vs}" if vs is not None else "—"
             lines.append(
                 f"| {result['workload']} | {result['metric']} | "
-                f"**{result['value']} {result['unit']}** | {detail} |"
+                f"**{result['value']} {result['unit']}** | {vs_text} | {detail} |"
             )
         Path(__file__).resolve().parent.parent.joinpath("BENCHMARKS.md").write_text(
             "\n".join(lines) + "\n"

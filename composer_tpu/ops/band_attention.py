@@ -109,7 +109,11 @@ def band_causal_attention(
     # batch 8 (16 blocks): ns=2 303 ms/step, ns=4 244, ns=8 205 — deeper
     # splits win more than their FLOP coverage predicts (smaller rectangular
     # pieces fuse better), so prefer the deepest split with >= 2 block rows
-    # per group.
+    # per group. A delta-batched variant (all (t, i) pairs with equal t - i
+    # in ONE einsum stacked over t, online softmax merge across deltas, no
+    # score-sized concats) measured 288 ms vs 200 here — the larger stacked
+    # einsums relayout worse than many small rectangles; do not revisit
+    # without new layout evidence.
     for num_splits in (8, 4, 2):
         if num_blocks % num_splits == 0 and num_blocks // num_splits >= 2:
             return _band_causal_attention_split(
