@@ -38,12 +38,24 @@ band coordinates: valid iff g <= a (real block) and (g >= 1 or r >= j).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax import lax
+
+
+# Experiment knobs (A/B benchmarking; defaults = production behavior).
+# COMPOSER_BAND_NS overrides the split depth; COMPOSER_BAND_SAVE_KV=1 adds the
+# band K/V tables to the remat save policy (skips rebuilding them in the
+# backward replay at the cost of ~2.1 GB HBM at 2048 ctx batch 8).
+_NS_OVERRIDE = int(os.environ.get("COMPOSER_BAND_NS", "0"))
+_SAVE_KV = os.environ.get("COMPOSER_BAND_SAVE_KV", "") == "1"
+_SAVED_NAMES = ("band_scores", "band_softmax_stats") + (
+    ("band_kv",) if _SAVE_KV else ()
+)
 
 
 def _block_select(num_blocks: int, dtype) -> jnp.ndarray:
@@ -114,8 +126,10 @@ def band_causal_attention(
     # score-sized concats) measured 288 ms vs 200 here — the larger stacked
     # einsums relayout worse than many small rectangles; do not revisit
     # without new layout evidence.
-    for num_splits in (8, 4, 2):
-        if num_blocks % num_splits == 0 and num_blocks // num_splits >= 2:
+    split_choices = (_NS_OVERRIDE,) if _NS_OVERRIDE else (8, 4, 2)
+    min_rows = 1 if _NS_OVERRIDE else 2
+    for num_splits in split_choices:
+        if num_blocks % num_splits == 0 and num_blocks // num_splits >= min_rows:
             return _band_causal_attention_split(
                 q, k, v, rel_embedding, scale, block_size, num_splits,
                 dropout_rng, dropout_rate,
@@ -155,9 +169,7 @@ def _masked_softmax(w):
 @partial(
     jax.checkpoint,
     static_argnums=(4, 5, 6, 8),
-    policy=jax.checkpoint_policies.save_only_these_names(
-        "band_scores", "band_softmax_stats"
-    ),
+    policy=jax.checkpoint_policies.save_only_these_names(*_SAVED_NAMES),
 )
 def _band_causal_attention_split(
     q, k, v, rel_embedding, scale, block_size, num_splits, dropout_rng, dropout_rate
@@ -194,8 +206,10 @@ def _band_causal_attention_split(
     kg, vg = [], []
     for delta in range(ns):
         sel = (delta * asz + ap - gp == cb).astype(dt)  # (As, As, A)
-        kg.append(jnp.einsum("agc,bhcjd->bhagjd", sel, kb))
-        vg.append(jnp.einsum("agc,bhcjd->bhagjd", sel, vb))
+        kg.append(jax.ad_checkpoint.checkpoint_name(
+            jnp.einsum("agc,bhcjd->bhagjd", sel, kb), "band_kv"))
+        vg.append(jax.ad_checkpoint.checkpoint_name(
+            jnp.einsum("agc,bhcjd->bhagjd", sel, vb), "band_kv"))
 
     # Per-chunk pre-sheared rel tables (g-contiguous slices of E).
     ehat = None
