@@ -137,7 +137,11 @@ def get_dataset(
             "of processed files or a .tfrecord file."
         )
 
-    header, batches = tfrecord.load_tfrecord_dataset(dataset_path)
+    # Streaming load: batches decode lazily from an mmap'd record index, so
+    # resident memory stays O(one batch) however large the export is.
+    header, record_dataset = tfrecord.TFRecordWindowDataset.from_file(
+        dataset_path, shuffle=shuffle_dataset, seed=get_seed()
+    )
     dataset_model_type = ModelType(header["model_type"])
     if dataset_model_type != model_type:
         logging.warning(
@@ -159,9 +163,7 @@ def get_dataset(
             f"Expected a window size of {get_window_size(model_type, config)} "
             f"but found {header['window_size']}."
         )
-    return tfrecord.TFRecordWindowDataset(
-        header, batches, shuffle=shuffle_dataset, seed=get_seed()
-    )
+    return record_dataset
 
 
 @cli.command()

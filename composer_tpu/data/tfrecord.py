@@ -327,11 +327,62 @@ def _chain_first(first, rest):
     yield from rest
 
 
+def index_records(filepath):
+    """One cheap pass over a TFRecord file: returns ``(mmap, offsets)`` where
+    ``offsets`` is a list of (payload_offset, length) per record.
+
+    Only the 12-byte length headers are touched (and their CRCs verified);
+    payload bytes stay untouched on disk until a record is actually read, so
+    indexing a multi-GB file costs O(records), not O(bytes).
+    """
+    import mmap
+
+    fh = open(filepath, "rb")
+    try:
+        data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:  # empty file cannot be mmapped
+        fh.close()
+        raise DatasetError(f"Empty TFRecord file: '{filepath}'.") from None
+    offsets = []
+    offset = 0
+    size = len(data)
+    while offset < size:
+        if offset + 12 > size:
+            raise DatasetError(f"Truncated TFRecord file: '{filepath}'.")
+        (length,) = struct.unpack_from("<Q", data, offset)
+        (length_crc,) = struct.unpack_from("<I", data, offset + 8)
+        if _masked_crc(data[offset : offset + 8]) != length_crc:
+            raise DatasetError(f"Corrupt TFRecord length CRC in '{filepath}'.")
+        payload_offset = offset + 12
+        end = payload_offset + length + 4
+        if end > size:
+            raise DatasetError(f"Truncated TFRecord payload in '{filepath}'.")
+        offsets.append((payload_offset, length))
+        offset = end
+    return data, offsets
+
+
+def _record_at(data, entry, filepath="<tfrecord>", verify_crc=True):
+    payload_offset, length = entry
+    record = bytes(data[payload_offset : payload_offset + length])
+    if verify_crc:
+        (record_crc,) = struct.unpack_from("<I", data, payload_offset + length)
+        if _masked_crc(record) != record_crc:
+            raise DatasetError(f"Corrupt TFRecord payload CRC in '{filepath}'.")
+    return record
+
+
 class TFRecordWindowDataset:
-    """Iterable of (x, y) batches loaded from a TFRecord, trainer-compatible.
+    """Iterable of (x, y) batches from a TFRecord, trainer-compatible.
 
     Matches the reference's load path (models/__init__.py:315-374): batches
     come pre-shaped from the record; shuffling reorders batches per epoch.
+
+    Two modes: the legacy in-memory list of batches, or (via
+    :meth:`from_file`) a streaming view over an mmap'd record index — each
+    epoch decodes batches on access in shuffled order, so resident memory is
+    O(one batch + index) regardless of dataset size (payload CRCs are
+    verified lazily, on first read of each record).
     """
 
     def __init__(self, header, batches, shuffle=True, seed=0):
@@ -341,31 +392,74 @@ class TFRecordWindowDataset:
         self.batches = batches
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self._mmap = None
+        self._offsets = None
+        self._filepath = None
+
+    @classmethod
+    def from_file(cls, filepath, shuffle=True, seed=0):
+        """Streaming dataset over ``filepath``; returns (header, dataset)."""
+        data, offsets = index_records(filepath)
+        if not offsets:
+            raise DatasetError(f"Empty TFRecord file: '{filepath}'.")
+        header = _parse_header_record(
+            _record_at(data, offsets[0], filepath), filepath
+        )
+        dataset = cls(header, batches=None, shuffle=shuffle, seed=seed)
+        dataset._mmap = data
+        dataset._offsets = offsets[1:]
+        dataset._filepath = str(filepath)
+        return header, dataset
+
+    def _decode(self, index):
+        record = _record_at(self._mmap, self._offsets[index], self._filepath)
+        fields = parse_example(record)
+        shape = (self.batch_size, self.window_size)
+        x = parse_tensor(fields["x"][0]).reshape(shape)
+        y = parse_tensor(fields["y"][0]).reshape(shape)
+        return x.astype(np.int32), y.astype(np.int32)
 
     def __len__(self):
-        return len(self.batches)
+        if self.batches is not None:
+            return len(self.batches)
+        return len(self._offsets)
 
     def __iter__(self):
-        order = np.arange(len(self.batches))
+        order = np.arange(len(self))
         if self.shuffle:
             self._rng.shuffle(order)
         for index in order:
-            yield self.batches[index]
+            if self.batches is not None:
+                yield self.batches[index]
+            else:
+                yield self._decode(index)
+
+
+def _parse_header_record(record, filepath):
+    header_fields = parse_example(record)
+    try:
+        return {
+            "model_type": header_fields["model_type"][0].decode(),
+            "batch_size": int(header_fields["batch_size"][0]),
+            "window_size": int(header_fields["window_size"][0]),
+        }
+    except (KeyError, IndexError):
+        raise DatasetError(
+            f"Missing TFRecord header record in '{filepath}'."
+        ) from None
 
 
 def load_tfrecord_dataset(filepath):
-    """Loads a TFRecord dataset: returns (header dict, [(x, y) batches])."""
+    """Loads a TFRecord dataset fully into memory: (header, [(x, y)]).
+
+    For large files prefer ``TFRecordWindowDataset.from_file`` (streaming).
+    """
     records = read_records(filepath)
     try:
         header_record = next(records)
     except StopIteration:
         raise DatasetError(f"Empty TFRecord file: '{filepath}'.") from None
-    header_fields = parse_example(header_record)
-    header = {
-        "model_type": header_fields["model_type"][0].decode(),
-        "batch_size": int(header_fields["batch_size"][0]),
-        "window_size": int(header_fields["window_size"][0]),
-    }
+    header = _parse_header_record(header_record, filepath)
 
     shape = (header["batch_size"], header["window_size"])
     batches = []

@@ -388,13 +388,19 @@ class Trainer:
         carry = self.init_rnn_carry(dataset.batch_size)
 
         if self.mesh is not None:
-            total_loss, total_accuracy, batches = 0.0, 0.0, 0
+            # Queue device metrics and fetch once at the end: a blocking
+            # float() per batch would serialize host and device (one full
+            # dispatch round trip per batch on remote-attached devices),
+            # the same pathology the train loop's deferred drain avoids.
+            pending = []
             for x, y in dataset:
                 x, y = self._place_batch(x, y)
                 metrics, carry = self.eval_step(state, x, y, carry)
-                total_loss += float(metrics["loss"])
-                total_accuracy += float(metrics["accuracy"])
-                batches += 1
+                pending.append((metrics["loss"], metrics["accuracy"]))
+            batches = len(pending)
+            values = jax.device_get(pending) if pending else []
+            total_loss = float(sum(float(loss) for loss, _ in values))
+            total_accuracy = float(sum(float(acc) for _, acc in values))
         else:
             xs, ys = dataset.batched_array()
             batches = xs.shape[0]

@@ -319,3 +319,56 @@ def test_split_dataset_skips_bad_files(midi_dataset, tmp_path, default_config):
         preprocess.get_processed_files(out / "test")
     )
     assert produced == 4
+
+
+def test_tfrecord_streaming_matches_in_memory(tmp_path):
+    """TFRecordWindowDataset.from_file (mmap + lazy decode) yields exactly
+    the in-memory loader's batches, shuffling included (same seed), and
+    never holds more than the record index resident."""
+    from composer_tpu.data import tfrecord
+    from composer_tpu.data.loader import WindowDataset
+
+    stream = (np.arange(4000) % 50).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=4, window_size=16, shuffle=False)
+    path = tmp_path / "stream.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+
+    header_m, batches = tfrecord.load_tfrecord_dataset(path)
+    header_s, streaming = tfrecord.TFRecordWindowDataset.from_file(
+        path, shuffle=True, seed=7
+    )
+    assert header_s == header_m
+    in_memory = tfrecord.TFRecordWindowDataset(
+        header_m, batches, shuffle=True, seed=7
+    )
+    assert len(streaming) == len(in_memory) == len(batches)
+    for (sx, sy), (mx, my) in zip(streaming, in_memory):
+        np.testing.assert_array_equal(sx, mx)
+        np.testing.assert_array_equal(sy, my)
+    # Second epoch reshuffles identically across modes too.
+    for (sx, sy), (mx, my) in zip(streaming, in_memory):
+        np.testing.assert_array_equal(sx, mx)
+        np.testing.assert_array_equal(sy, my)
+
+
+def test_tfrecord_streaming_detects_payload_corruption(tmp_path):
+    from composer_tpu.data import tfrecord
+    from composer_tpu.data.loader import WindowDataset
+    from composer_tpu.exceptions import DatasetError
+
+    stream = (np.arange(500) % 50).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=2, window_size=8, shuffle=False)
+    path = tmp_path / "corrupt.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+
+    raw = bytearray(path.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF  # flip a payload byte in some record
+    path.write_bytes(bytes(raw))
+
+    try:
+        _, streaming = tfrecord.TFRecordWindowDataset.from_file(path, shuffle=False)
+        for _ in streaming:
+            pass
+    except DatasetError:
+        return  # lazy CRC caught it at index or read time
+    raise AssertionError("corruption not detected")

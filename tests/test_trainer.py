@@ -208,6 +208,26 @@ def test_fused_evaluate_matches_per_batch_loop():
         assert abs(fused["accuracy"] - total_accuracy / count) < 1e-5
 
 
+def test_mesh_evaluate_matches_single_device():
+    """The mesh evaluate path (deferred one-shot metric fetch) must produce
+    the single-device evaluate's metrics exactly."""
+    assert jax.device_count() >= 8
+    stream = np.random.default_rng(2).integers(0, VOCAB, 3000).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=8, window_size=16, shuffle=False)
+
+    single = Trainer(_tiny_transformer(), ModelType.TRANSFORMER, 1e-3)
+    state_s = single.init_state(8, 16)
+    expected = single.evaluate(dataset, state_s)
+
+    mesh = create_mesh(data=8, model=1)
+    parallel = Trainer(_tiny_transformer(), ModelType.TRANSFORMER, 1e-3, mesh=mesh)
+    state_p = parallel.init_state(8, 16)
+    got = parallel.evaluate(dataset, state_p)
+
+    assert abs(got["loss"] - expected["loss"]) < 1e-5
+    assert abs(got["accuracy"] - expected["accuracy"]) < 1e-5
+
+
 def test_deferred_metrics_cover_every_step(tmp_path):
     """The chunked metric fetch (trainer.py) must still record one loss and
     one accuracy scalar per global step, in order, with no gaps — including
