@@ -55,32 +55,31 @@ def _device_seconds_per_call(call, calls: int = 3):
             and e.get("name") == "process_name"
             and "TPU" in str(e.get("args", {}).get("name", ""))
         }
-        device_complete = [
-            e
+        # Top-level program durations live on the device plane's
+        # "XLA Modules" thread row (events named 'jit_<fn>(<fingerprint>)');
+        # summing that row counts each executed program exactly once —
+        # nested op rows ("XLA Ops") would double-count the same time.
+        module_tids = {
+            (e["pid"], e.get("tid"))
             for e in events
-            if e.get("ph") == "X" and e.get("pid") in device_pids and "dur" in e
-        ]
-        # Prefer the top-level XLA module events (named 'jit_<fn>' on the
-        # device plane's module row): summing every event whose name merely
-        # contains 'decode' would double-count nested op rows of the same
-        # program.
-        module_events = [
-            e
-            for e in device_complete
-            if e.get("name", "").startswith("jit_") and "decode" in e["name"]
-        ]
-        if module_events:
-            total = sum(e["dur"] for e in module_events)
-        else:
-            total = sum(
-                e["dur"] for e in device_complete if "decode" in e.get("name", "")
+            if e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("pid") in device_pids
+            and "XLA Modules" in str(e.get("args", {}).get("name", ""))
+        }
+        total = sum(
+            e["dur"]
+            for e in events
+            if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in module_tids
+            and "dur" in e
+        )
+        if total == 0:
+            print(
+                "bench: no XLA Modules row in the device trace; cannot "
+                "measure on-device time",
+                file=sys.stderr,
             )
-            if total:
-                print(
-                    "bench: no 'jit_*decode*' module events found; fell back to "
-                    "substring matching (may double-count nested ops)",
-                    file=sys.stderr,
-                )
     if total == 0:
         return None
     return total / 1e6 / calls

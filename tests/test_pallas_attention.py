@@ -38,3 +38,39 @@ def test_flash_attention_rejects_unaligned_seq():
     q = jnp.zeros((1, 1, 100, 16))
     with pytest.raises(ValueError):
         relative_flash_attention(q, q, q, None)
+
+
+def test_explicit_pallas_request_wins_over_band_default(monkeypatch):
+    """A user setting use_pallas_attention must not be silently routed to the
+    band path just because band_block_size has a nonzero default (advisor
+    finding, round 1)."""
+    import composer_tpu.ops.attention as attention_mod
+    import composer_tpu.ops.band_attention as band_mod
+    import composer_tpu.ops.pallas_attention as pallas_mod
+
+    calls = {"band": 0, "pallas": 0}
+
+    def fake_band(*args, **kwargs):
+        calls["band"] += 1
+        raise AssertionError("band path taken despite use_pallas=True")
+
+    def fake_pallas(q, k, v, rel, scale=True):
+        calls["pallas"] += 1
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(band_mod, "band_causal_attention", fake_band)
+    monkeypatch.setattr(pallas_mod, "relative_flash_attention", fake_pallas)
+
+    q = jnp.zeros((1, 2, 128, 8))
+    attention_mod.multihead_attention(
+        q, q, q, use_pallas=True, band_block_size=128
+    )
+    assert calls == {"band": 0, "pallas": 1}
+
+    # Without the explicit request the band default applies as before.
+    calls["pallas"] = 0
+    with pytest.raises(AssertionError):
+        attention_mod.multihead_attention(
+            q, q, q, use_pallas=False, band_block_size=128
+        )
+    assert calls["band"] == 1
