@@ -474,8 +474,12 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
               help="The length of the generated event sequence. Defaults to 1024.")
 @click.option("--temperature", default=1.0,
               help="Dictates how random the result is. Lower is more predictable. Defaults to 1.0.")
+@click.option("--top-k", default=0,
+              help="Sample only from the k most likely events (0 disables; addition over the reference).")
+@click.option("--top-p", default=0.0,
+              help="Nucleus sampling: smallest probability mass p to sample from (0 disables; addition over the reference).")
 def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
-             generate_length, temperature):
+             generate_length, temperature, top_k, top_p):
     """Generate a MIDI file (KV-cached on-device scan decode)."""
     from composer_tpu.midi.events import EventSequence
     from composer_tpu.train.generate import generate_ids
@@ -520,6 +524,7 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
     ids = generate_ids(
         trainer.model, model_type, variables, prompt_ids,
         length=generate_length, temperature=temperature, seed=get_seed(),
+        top_k=top_k, top_p=top_p,
     )
 
     event_sequence = EventSequence.from_ids(

