@@ -282,6 +282,50 @@ def test_transformer_train_trajectory_vs_reference():
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
 
 
+def test_transformer_rel_train_trajectory_vs_reference():
+    """Relative-attention training parity: 5 Adam steps at batch 1 (the
+    reference's E couples batch*seq, so batch 1 x seq=window is its only
+    runnable rel shape). Pins the E gradient path (skew backward) against
+    the reference's autodiff."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.train.trainer import Trainer
+
+    batch, seq, steps, lr = 1, WINDOW, 5, 1e-3
+    ref_model = build_reference_transformer(True, batch, seq)
+
+    config = tiny_config(True)
+    model = Transformer(config)
+    params = ref_transformer_params(ref_model, True)
+
+    rng = np.random.default_rng(43)
+    xs = rng.integers(0, VOCAB, (steps, batch, seq)).astype(np.int32)
+    ys = rng.integers(0, VOCAB, (steps, batch, seq)).astype(np.int32)
+
+    optimizer = tf.keras.optimizers.Adam(learning_rate=lr)
+    loss_object = tf.keras.losses.SparseCategoricalCrossentropy(from_logits=True)
+    ref_losses = []
+    for step in range(steps):
+        with tf.GradientTape() as tape:
+            predictions, _ = ref_model(tf.constant(xs[step]), training=True)
+            loss = loss_object(y_true=ys[step], y_pred=predictions)
+        grads = tape.gradient(loss, ref_model.trainable_variables)
+        optimizer.apply_gradients(zip(grads, ref_model.trainable_variables))
+        ref_losses.append(float(loss))
+
+    trainer = Trainer(model, ModelType.TRANSFORMER, learning_rate=lr)
+    state = trainer.init_state(batch, seq)
+    state = state.replace(params=params, opt_state=trainer.optimizer.init(params))
+    our_losses = []
+    step_rng = jax.random.PRNGKey(0)
+    for step in range(steps):
+        state, metrics, _ = trainer.train_step(
+            state, jnp.asarray(xs[step]), jnp.asarray(ys[step]), step_rng, None
+        )
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+
 # --------------------------------------------------------------------------- MusicRNN
 RNN_EMBED = 16
 RNN_SIZES = (24, 24)
