@@ -436,6 +436,43 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
     )
 
 
+@cli.command("import-checkpoint")
+@click.argument("model-type", type=EnumType(ModelType, False))
+@click.argument("checkpoint-dir")
+@click.argument("output-logdir")
+@click.option("--config", "-c", "config_filepath", default=None,
+              help="The path of the configuration file the reference model was "
+                   "trained with. Defaults to the default configuration.")
+def import_checkpoint(model_type, checkpoint_dir, output_logdir, config_filepath):
+    """Import a checkpoint trained by the TF reference implementation.
+
+    Reads a tf.train.Checkpoint saved by the reference's train loop (weights,
+    batch-norm statistics, step/epoch; requires TensorFlow for the read),
+    converts it to this framework's checkpoint format under OUTPUT_LOGDIR,
+    and snapshots the config there — after which `composer generate`,
+    `evaluate`, and `train --restoredir` accept OUTPUT_LOGDIR directly.
+    Optimizer state does not transfer (resumed training restarts Adam).
+    """
+    from composer_tpu.train.import_reference import import_reference_checkpoint
+
+    config = config_module.get(config_filepath or get_default_config())
+    output_logdir = Path(output_logdir)
+    output_logdir.mkdir(parents=True, exist_ok=True)
+    source = Path(config.filepath or get_default_config()).read_text()
+    (output_logdir / "config.yml").write_text(
+        _CONFIG_SNAPSHOT_BANNER.format(
+            datetime=str(datetime.datetime.now()), config_source=source
+        )
+    )
+    state = import_reference_checkpoint(
+        model_type, checkpoint_dir, output_logdir, config
+    )
+    logging.info(
+        "Imported reference checkpoint into '%s' (step=%d, epoch=%d).",
+        output_logdir, int(state.step), int(state.epoch),
+    )
+
+
 @cli.command()
 @click.argument("model-type", type=EnumType(ModelType, False))
 @click.argument("dataset-path")
