@@ -345,6 +345,7 @@ def run_train_benchmark(
     seed: int = 0,
     attention_chunk_size: int = 0,
     remat: bool = False,
+    dropout_rate: float = 0.0,
 ):
     """Training step time for the relative-attention config (BASELINE.md row 5).
 
@@ -364,8 +365,8 @@ def run_train_benchmark(
     config = TransformerConfig(
         vocab_size=390, embed_dim=256, window_size=window_size,
         num_layers=8, num_heads=16, use_relative_attention=use_relative_attention,
-        attention_dropout_rate=0.0, residual_dropout_rate=0.0, dtype=dtype,
-        attention_chunk_size=attention_chunk_size, remat=remat,
+        attention_dropout_rate=dropout_rate, residual_dropout_rate=dropout_rate,
+        dtype=dtype, attention_chunk_size=attention_chunk_size, remat=remat,
     )
     trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-3, seed=seed)
     state = trainer.init_state(batch_size, window_size)
@@ -373,7 +374,9 @@ def run_train_benchmark(
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.integers(0, 390, (batch_size, window_size)), dtype=jnp.int32)
     y = jnp.asarray(rng.integers(0, 390, (batch_size, window_size)), dtype=jnp.int32)
-    step_rng = jax.random.PRNGKey(seed)
+    # The trainer's dropout-key policy (rbg on TPU) is part of what this
+    # benchmark measures when dropout is on.
+    step_rng = trainer.make_dropout_rng()
 
     state, metrics, _ = trainer.train_step(state, x, y, step_rng, None)  # compile
     np.asarray(metrics["loss"])  # force host transfer (block_until_ready is a no-op on axon)
@@ -393,6 +396,7 @@ def run_train_benchmark(
         "detail": {
             "batch_size": batch_size,
             "window_size": window_size,
+            "dropout_rate": dropout_rate,
             "tokens_per_sec": round(tokens_per_sec, 1),
             "backend": jax.default_backend(),
         },
@@ -463,6 +467,16 @@ def run_all(write_markdown=True):
         (
             "train step (relative attention, 2048 ctx)",
             lambda: run_train_benchmark(batch_size=8, window_size=2048),
+        ),
+        (
+            # The reference trains with dropout 0.1 by default; mask
+            # generation is a real cost at this scale (~2.3G bernoulli draws
+            # per step), kept affordable by the trainer's rbg dropout keys
+            # (measured v5e-1: 284 ms/step vs 356 with threefry).
+            "train step (2048 ctx, reference-default dropout 0.1)",
+            lambda: run_train_benchmark(
+                batch_size=8, window_size=2048, dropout_rate=0.1,
+            ),
         ),
         (
             # Measured on v5e-1: band+remat 1.31 s/step (50k tok/s) vs

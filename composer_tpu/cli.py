@@ -362,6 +362,9 @@ def _make_trainer(model_type, config, mesh=None):
         # Optional additive knobs (0 = the reference's bare Adam).
         warmup_steps=int(train_section.get("warmup_steps", 0)),
         gradient_clip_norm=float(train_section.get("gradient_clip_norm", 0.0)),
+        # 'auto' = TPU-native 'rbg' dropout masks on TPU (20% faster steps at
+        # the reference-default dropout 0.1), default threefry elsewhere.
+        dropout_rng_impl=train_section.get("dropout_rng_impl", None),
     )
 
 

@@ -59,7 +59,7 @@ class TransformerConfig:
     use_pallas_attention: bool = False
     # Memory-efficient differentiable attention for long-context training:
     # scores are computed one q-chunk at a time (O(S*chunk) live memory).
-    # Incompatible with attention dropout (which must be 0 to take effect).
+    # Attention dropout folds the chunk index into the rng per chunk.
     attention_chunk_size: int = 0
     # Band-coordinate attention (ops/band_attention.py) for full-sequence
     # passes whose length is a multiple of this block: same numerics as the

@@ -95,6 +95,7 @@ class Trainer:
         seed: int = 0,
         warmup_steps: int = 0,
         gradient_clip_norm: float = 0.0,
+        dropout_rng_impl: Optional[str] = None,
     ):
         self.model = model
         self.model_type = model_type
@@ -105,6 +106,7 @@ class Trainer:
         )
         self.mesh = mesh
         self.seed = seed
+        self.dropout_rng_impl = dropout_rng_impl
         self._compiled_train_step = None
         self._compiled_eval_step = None
         self._compiled_eval_scan = None
@@ -129,6 +131,34 @@ class Trainer:
                 state, mesh_lib.replicated_sharding(self.mesh)
             )
         return state
+
+    def make_dropout_rng(self):
+        """Root key for the per-step dropout rngs.
+
+        Dropout mask generation is a real cost at long context: at 2048 ctx
+        batch 8 the band-attention probs alone draw ~2.3G bernoulli samples
+        per step, and the default threefry generator spends 155 ms/step on
+        them (measured v5e-1: 201 ms/step at dropout 0 vs 356 ms at the
+        reference-default 0.1). The TPU-native ``rbg`` generator (hardware
+        RNG primitive) cuts that to 83 ms (284 ms/step). On TPU backends we
+        therefore default the *dropout* key — and only it; param init stays
+        on the default impl for cross-backend reproducibility — to ``rbg``.
+        Masks remain deterministic per seed, but differ from the threefry
+        masks; set ``dropout_rng_impl: threefry2x32`` (config) to opt out.
+        """
+        impl = self.dropout_rng_impl
+        if impl in (None, "auto"):
+            if jax.default_backend() == "tpu":
+                impl = "rbg"
+                logging.info(
+                    "Dropout rng: TPU-native 'rbg' generator "
+                    "(set train.dropout_rng_impl to override)."
+                )
+            else:
+                impl = None
+        if impl is None or impl == "default":
+            return jax.random.PRNGKey(self.seed + 1)
+        return jax.random.key(self.seed + 1, impl=impl)
 
     def init_rnn_carry(self, batch_size: int):
         if self.model_type != ModelType.MUSIC_RNN:
@@ -256,7 +286,7 @@ class Trainer:
         save_frequency_mode = ModelSaveFrequencyMode(save_frequency_mode)
         checkpoints = CheckpointManager(logdir, max_to_keep=max_checkpoints)
         writer = MetricsWriter(logdir / "train")
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng = self.make_dropout_rng()
 
         batch_size = dataset.batch_size
         carry = self.init_rnn_carry(batch_size)

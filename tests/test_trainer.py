@@ -273,3 +273,39 @@ def test_warmup_and_clipping_optimizer():
     opt_state = opt.init(params)
     updates, _ = opt.update(grads, opt_state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-3)
+
+
+def test_dropout_rng_impl_policy():
+    """On non-TPU backends the dropout key stays on the default threefry
+    impl; an explicit 'rbg' request produces a typed rbg key that drives a
+    dropout-on train step (the TPU fast path, exercised here on CPU)."""
+    config = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=16, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.2, residual_dropout_rate=0.2,
+    )
+
+    auto = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-2)
+    key = auto.make_dropout_rng()
+    assert jax.default_backend() == "cpu"
+    np.testing.assert_array_equal(
+        np.asarray(key), np.asarray(jax.random.PRNGKey(auto.seed + 1))
+    )
+
+    explicit = Trainer(
+        Transformer(config), ModelType.TRANSFORMER, 1e-2,
+        dropout_rng_impl="rbg",
+    )
+    rbg_key = explicit.make_dropout_rng()
+    assert str(jax.random.key_impl(rbg_key)) == "rbg"
+
+    # The typed key flows through the jitted dropout-on step.
+    state = explicit.init_state(2, 16)
+    x = jnp.zeros((2, 16), jnp.int32)
+    y = jnp.zeros((2, 16), jnp.int32)
+    state, metrics, _ = explicit.train_step(state, x, y, rbg_key, None)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Masks are deterministic per key: same key, same loss.
+    state2 = explicit.init_state(2, 16)
+    _, metrics2, _ = explicit.train_step(state2, x, y, rbg_key, None)
+    assert float(metrics["loss"]) == float(metrics2["loss"])
