@@ -74,7 +74,7 @@ def _device_seconds_per_call(call, calls: int = 3):
             and (e.get("pid"), e.get("tid")) in module_tids
             and "dur" in e
         )
-        if total == 0:
+        if total == 0 and jax.default_backend() != "cpu":
             print(
                 "bench: no XLA Modules row in the device trace; cannot "
                 "measure on-device time",
@@ -127,11 +127,12 @@ def run_decode_benchmark(
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, 390, (batch_size, prompt_length)).astype(np.int32)
 
-    def make_call(gen_length):
+    def make_call(gen_length, cache_len=None):
         def call():
             out = generate_ids(
                 model, ModelType.TRANSFORMER, params, prompt,
                 length=gen_length, temperature=1.0, seed=seed,
+                cache_len=cache_len,
             )
             return np.asarray(out)  # force host transfer: the only real sync
 
@@ -148,20 +149,29 @@ def run_decode_benchmark(
         return min(times)
 
     best = timed(length)
-    timed_call = make_call(length)
     events_per_sec = batch_size * length / best
 
-    # On-device rate via the device profiler (sums the decode program's
-    # device-plane time). Wall-clock in this environment includes a ~24 ms
-    # per-dispatch remote-tunnel latency that jitters by ~10 ms between runs,
-    # so wall-derived estimates (length differencing, wall minus a measured
-    # dispatch floor) both proved unstable; the profiler number is the chip's
-    # actual throughput. Reported for the batch-1 latency workload.
+    # On-device marginal rate via the device profiler: device-plane module
+    # time is measured at two lengths and differenced, so fixed per-call
+    # programs (prefill, the final gather/concatenate) cancel and only the
+    # decode scan's per-event cost remains. Wall-clock in this environment
+    # includes a ~24 ms per-dispatch remote-tunnel latency that jitters by
+    # ~10 ms between runs, so wall-derived estimates proved unstable; the
+    # profiler number is the chip's actual throughput. Reported for the
+    # batch-1 latency workload.
     marginal = None
     if batch_size == 1:
-        device_seconds = _device_seconds_per_call(timed_call)
-        if device_seconds:
-            marginal = round(batch_size * length / device_seconds, 1)
+        # Both lengths run against the SAME cache size so per-step cost is
+        # identical and the difference isolates the extra decode steps.
+        short = max(length // 2, 1)
+        cache = prompt_length + length
+        long_seconds = _device_seconds_per_call(make_call(length, cache))
+        short_seconds = _device_seconds_per_call(make_call(short, cache))
+        if long_seconds and short_seconds and long_seconds > short_seconds:
+            marginal = round(
+                batch_size * (length - short) / (long_seconds - short_seconds),
+                1,
+            )
 
     return {
         "metric": "decode_events_per_sec",

@@ -139,8 +139,15 @@ def get_dataset(
 
     # Streaming load: batches decode lazily from an mmap'd record index, so
     # resident memory stays O(one batch) however large the export is.
+    import jax
+
     header, record_dataset = tfrecord.TFRecordWindowDataset.from_file(
-        dataset_path, shuffle=shuffle_dataset, seed=get_seed()
+        dataset_path, shuffle=shuffle_dataset, seed=get_seed(),
+        # Multi-host: each process takes its disjoint row slice of every
+        # exported batch; mesh.make_global_batch reassembles the exact
+        # exported global batch across processes.
+        shard_count=jax.process_count(),
+        shard_index=jax.process_index(),
     )
     dataset_model_type = ModelType(header["model_type"])
     if dataset_model_type != model_type:
@@ -461,14 +468,16 @@ def import_checkpoint(model_type, checkpoint_dir, output_logdir, config_filepath
     config = config_module.get(config_filepath or get_default_config())
     output_logdir = Path(output_logdir)
     output_logdir.mkdir(parents=True, exist_ok=True)
+    state = import_reference_checkpoint(
+        model_type, checkpoint_dir, output_logdir, config
+    )
+    # Snapshot the config only after a successful import: a failed import
+    # must not leave a logdir that later restores mistake for a model dir.
     source = Path(config.filepath or get_default_config()).read_text()
     (output_logdir / "config.yml").write_text(
         _CONFIG_SNAPSHOT_BANNER.format(
             datetime=str(datetime.datetime.now()), config_source=source
         )
-    )
-    state = import_reference_checkpoint(
-        model_type, checkpoint_dir, output_logdir, config
     )
     logging.info(
         "Imported reference checkpoint into '%s' (step=%d, epoch=%d).",

@@ -385,9 +385,9 @@ class TFRecordWindowDataset:
     verified lazily, on first read of each record).
     """
 
-    def __init__(self, header, batches, shuffle=True, seed=0):
+    def __init__(self, header, batches, shuffle=True, seed=0,
+                 shard_count=1, shard_index=0):
         self.header = header
-        self.batch_size = header["batch_size"]
         self.window_size = header["window_size"]
         self.batches = batches
         self.shuffle = shuffle
@@ -395,9 +395,26 @@ class TFRecordWindowDataset:
         self._mmap = None
         self._offsets = None
         self._filepath = None
+        self._crc_checked = None
+        # Multi-host: each process takes a disjoint row slice of every
+        # pre-shaped batch, so assembling the per-host rows over the data
+        # mesh axis (mesh.make_global_batch) reconstructs exactly the
+        # exported global batch.
+        if header["batch_size"] % shard_count != 0:
+            raise DatasetError(
+                f"TFRecord batch size {header['batch_size']} is not divisible "
+                f"by the process count {shard_count}; re-export with a "
+                "divisible batch size for multi-host training."
+            )
+        self._rows = slice(
+            shard_index * (header["batch_size"] // shard_count),
+            (shard_index + 1) * (header["batch_size"] // shard_count),
+        )
+        self.batch_size = header["batch_size"] // shard_count
 
     @classmethod
-    def from_file(cls, filepath, shuffle=True, seed=0):
+    def from_file(cls, filepath, shuffle=True, seed=0,
+                  shard_count=1, shard_index=0):
         """Streaming dataset over ``filepath``; returns (header, dataset)."""
         data, offsets = index_records(filepath)
         if not offsets:
@@ -405,19 +422,30 @@ class TFRecordWindowDataset:
         header = _parse_header_record(
             _record_at(data, offsets[0], filepath), filepath
         )
-        dataset = cls(header, batches=None, shuffle=shuffle, seed=seed)
+        dataset = cls(header, batches=None, shuffle=shuffle, seed=seed,
+                      shard_count=shard_count, shard_index=shard_index)
         dataset._mmap = data
         dataset._offsets = offsets[1:]
         dataset._filepath = str(filepath)
+        dataset._crc_checked = np.zeros(len(dataset._offsets), dtype=bool)
         return header, dataset
 
     def _decode(self, index):
-        record = _record_at(self._mmap, self._offsets[index], self._filepath)
+        # Payload CRCs are verified the first time a record is read; later
+        # epochs skip the (pure-Python-fallback) CRC pass over the bytes.
+        record = _record_at(
+            self._mmap, self._offsets[index], self._filepath,
+            verify_crc=not self._crc_checked[index],
+        )
+        self._crc_checked[index] = True
         fields = parse_example(record)
-        shape = (self.batch_size, self.window_size)
+        shape = (self.header["batch_size"], self.window_size)
         x = parse_tensor(fields["x"][0]).reshape(shape)
         y = parse_tensor(fields["y"][0]).reshape(shape)
-        return x.astype(np.int32), y.astype(np.int32)
+        return (
+            x[self._rows].astype(np.int32),
+            y[self._rows].astype(np.int32),
+        )
 
     def __len__(self):
         if self.batches is not None:
@@ -430,7 +458,8 @@ class TFRecordWindowDataset:
             self._rng.shuffle(order)
         for index in order:
             if self.batches is not None:
-                yield self.batches[index]
+                x, y = self.batches[index]
+                yield x[self._rows], y[self._rows]
             else:
                 yield self._decode(index)
 

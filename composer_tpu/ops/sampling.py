@@ -22,12 +22,16 @@ def sample_logits(rng, logits, temperature: float = 1.0):
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 
+def filter_top_k(logits, k: int):
+    """Keeps the k largest logits; the rest go to -inf."""
+    top_values, _ = jax.lax.top_k(logits, k)
+    return jnp.where(logits < top_values[..., -1:], -jnp.inf, logits)
+
+
 def sample_top_k(rng, logits, temperature: float = 1.0, k: int = 0):
     """Top-k filtered temperature sampling (k <= 0 disables filtering)."""
     if k and k > 0:
-        top_values, _ = jax.lax.top_k(logits, k)
-        threshold = top_values[..., -1:]
-        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+        logits = filter_top_k(logits, k)
     return sample_logits(rng, logits, temperature)
 
 
@@ -55,13 +59,18 @@ def sample_filtered(rng, logits, temperature: float = 1.0, top_k: int = 0,
                     top_p: float = 0.0):
     """Temperature sampling with optional top-k and/or nucleus filtering.
 
-    Filters compose in the standard order (top-k first, then top-p over the
-    survivors). ``top_k <= 0`` / ``top_p <= 0 or >= 1`` disable each filter;
-    with both disabled this is exactly :func:`sample_logits`.
+    Warpers apply in the canonical order: temperature first, then top-k,
+    then top-p over the survivors — so the nucleus is the p-mass prefix of
+    the distribution actually sampled (top-k is order-invariant under the
+    monotonic temperature scaling; top-p is not). ``top_k <= 0`` /
+    ``top_p <= 0 or >= 1`` disable each filter; with both disabled this is
+    exactly :func:`sample_logits`.
     """
+    greedy = isinstance(temperature, (int, float)) and temperature <= 0
+    if not greedy:
+        logits = logits.astype(jnp.float32) / temperature
     if top_k and top_k > 0:
-        top_values, _ = jax.lax.top_k(logits, top_k)
-        logits = jnp.where(logits < top_values[..., -1:], -jnp.inf, logits)
+        logits = filter_top_k(logits, top_k)
     if top_p and 0.0 < top_p < 1.0:
         logits = filter_top_p(logits, top_p)
-    return sample_logits(rng, logits, temperature)
+    return sample_logits(rng, logits, 0.0 if greedy else 1.0)

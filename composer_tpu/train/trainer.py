@@ -416,37 +416,63 @@ class Trainer:
         evaluation keeps the per-batch loop (batches are placed per step).
         """
         carry = self.init_rnn_carry(dataset.batch_size)
+        total_loss, total_accuracy, batches = 0.0, 0.0, 0
 
         if self.mesh is not None:
-            # Queue device metrics and fetch once at the end: a blocking
-            # float() per batch would serialize host and device (one full
-            # dispatch round trip per batch on remote-attached devices),
-            # the same pathology the train loop's deferred drain avoids.
+            # Queue device metrics and fetch in chunks: a blocking float()
+            # per batch would serialize host and device (one full dispatch
+            # round trip per batch on remote-attached devices), while never
+            # fetching would let the host dispatch the whole dataset ahead
+            # of the device — each queued step pins its input buffers in
+            # HBM until it runs. Draining every scan_chunk steps bounds the
+            # in-flight window (the drain blocks on computed results, i.e.
+            # acts as backpressure) without per-batch round trips.
             pending = []
+
+            def drain():
+                nonlocal total_loss, total_accuracy
+                for loss, acc in jax.device_get(pending):
+                    total_loss += float(loss)
+                    total_accuracy += float(acc)
+                pending.clear()
+
             for x, y in dataset:
                 x, y = self._place_batch(x, y)
                 metrics, carry = self.eval_step(state, x, y, carry)
                 pending.append((metrics["loss"], metrics["accuracy"]))
-            batches = len(pending)
-            values = jax.device_get(pending) if pending else []
-            total_loss = float(sum(float(loss) for loss, _ in values))
-            total_accuracy = float(sum(float(acc) for _, acc in values))
+                batches += 1
+                if len(pending) >= scan_chunk:
+                    drain()
+            drain()
         else:
-            xs, ys = dataset.batched_array()
-            batches = xs.shape[0]
-            total_loss, total_accuracy = 0.0, 0.0
-            offset = 0
-            while offset < batches:
-                take = min(scan_chunk, batches - offset)
+            # Buffer scan_chunk batches from the iterator and evaluate each
+            # stack in one fused lax.scan dispatch. Iterating (instead of
+            # materializing the whole dataset) keeps streaming TFRecord
+            # datasets at O(chunk) resident memory.
+            pending_x, pending_y = [], []
+
+            def flush(carry):
+                nonlocal total_loss, total_accuracy, batches
                 loss_sum, accuracy_sum, carry = self.eval_scan(
                     state,
-                    jnp.asarray(xs[offset : offset + take]),
-                    jnp.asarray(ys[offset : offset + take]),
+                    jnp.asarray(np.stack(pending_x)),
+                    jnp.asarray(np.stack(pending_y)),
                     carry,
                 )
                 total_loss += float(loss_sum)
                 total_accuracy += float(accuracy_sum)
-                offset += take
+                batches += len(pending_x)
+                pending_x.clear()
+                pending_y.clear()
+                return carry
+
+            for x, y in dataset:
+                pending_x.append(np.asarray(x))
+                pending_y.append(np.asarray(y))
+                if len(pending_x) == scan_chunk:
+                    carry = flush(carry)
+            if pending_x:
+                carry = flush(carry)
 
         if batches == 0:
             return {"loss": float("nan"), "accuracy": float("nan"), "perplexity": float("nan")}

@@ -227,3 +227,21 @@ def test_synthesize_without_fluidsynth_fails_cleanly(workspace, monkeypatch, cap
     assert result.exit_code != 0
     assert "FluidSynth" in caplog.text
     assert "Traceback" not in result.output
+
+
+def test_import_checkpoint_failure_leaves_no_config_snapshot(tmp_path):
+    """A failed import must not leave a config.yml that later restores would
+    mistake for a trained-model logdir (the snapshot is written only after a
+    successful import)."""
+    from click.testing import CliRunner
+
+    bogus = tmp_path / "not_a_checkpoint"
+    bogus.mkdir()
+    out = tmp_path / "imported"
+    result = CliRunner().invoke(
+        cli,
+        ["import-checkpoint", "transformer", str(bogus), str(out)],
+        catch_exceptions=True,
+    )
+    assert result.exit_code != 0
+    assert not (out / "config.yml").exists()

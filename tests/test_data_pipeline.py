@@ -372,3 +372,88 @@ def test_tfrecord_streaming_detects_payload_corruption(tmp_path):
     except DatasetError:
         return  # lazy CRC caught it at index or read time
     raise AssertionError("corruption not detected")
+
+
+def test_tfrecord_streaming_crc_verified_once(tmp_path, monkeypatch):
+    """Payload CRCs are checked on first read of each record only; later
+    epochs skip the (potentially pure-Python) CRC pass entirely."""
+    from composer_tpu.data import tfrecord
+    from composer_tpu.data.loader import WindowDataset
+
+    stream = (np.arange(600) % 50).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=2, window_size=8, shuffle=False)
+    path = tmp_path / "crc_once.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+
+    _, streaming = tfrecord.TFRecordWindowDataset.from_file(path, shuffle=False)
+
+    calls = []
+    real = tfrecord._masked_crc
+    monkeypatch.setattr(tfrecord, "_masked_crc", lambda b: calls.append(1) or real(b))
+
+    first = list(streaming)
+    first_epoch_calls = len(calls)
+    assert first_epoch_calls == len(streaming)  # one payload CRC per record
+    second = list(streaming)
+    assert len(calls) == first_epoch_calls  # none on the second epoch
+    for (ax, ay), (bx, by) in zip(first, second):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
+
+
+def test_tfrecord_row_sharding_reassembles_global_batch(tmp_path):
+    """Each shard takes a disjoint row slice of every exported batch; stacking
+    the shards row-wise reconstructs the exported global batch exactly."""
+    from composer_tpu.data import tfrecord
+    from composer_tpu.data.loader import WindowDataset
+    from composer_tpu.exceptions import DatasetError
+
+    stream = (np.arange(800) % 50).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=4, window_size=8, shuffle=False)
+    path = tmp_path / "sharded.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+
+    header, full = tfrecord.TFRecordWindowDataset.from_file(path, shuffle=False)
+    shards = [
+        tfrecord.TFRecordWindowDataset.from_file(
+            path, shuffle=False, shard_count=2, shard_index=i
+        )[1]
+        for i in range(2)
+    ]
+    assert all(s.batch_size == 2 for s in shards)
+    for (fx, fy), (ax, ay), (bx, by) in zip(full, *shards):
+        np.testing.assert_array_equal(fx, np.concatenate([ax, bx]))
+        np.testing.assert_array_equal(fy, np.concatenate([ay, by]))
+
+    with pytest.raises(DatasetError):
+        tfrecord.TFRecordWindowDataset.from_file(path, shuffle=False, shard_count=3)
+
+
+def test_evaluate_runs_on_streaming_tfrecord(tmp_path):
+    """trainer.evaluate accepts a streaming TFRecord dataset (no
+    batched_array materialization) and matches evaluate on the equivalent
+    in-memory WindowDataset."""
+    import jax
+    from composer_tpu.data import tfrecord
+    from composer_tpu.data.loader import WindowDataset
+    from composer_tpu.models import ModelType
+    from composer_tpu.models.transformer import Transformer, TransformerConfig
+    from composer_tpu.train.trainer import Trainer
+
+    stream = (np.arange(1200) % 50).astype(np.int32)
+    dataset = WindowDataset(stream, batch_size=2, window_size=8, shuffle=False)
+    path = tmp_path / "eval.tfrecord"
+    tfrecord.export_dataset(dataset, "transformer", path)
+    _, streaming = tfrecord.TFRecordWindowDataset.from_file(path, shuffle=False)
+
+    model = Transformer(TransformerConfig(
+        vocab_size=50, embed_dim=16, window_size=8, num_layers=1, num_heads=2,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    ))
+    trainer = Trainer(model, ModelType.TRANSFORMER, 1e-3)
+    state = trainer.init_state(2, 8)
+
+    streamed = trainer.evaluate(streaming, state, scan_chunk=4)
+    in_memory = trainer.evaluate(dataset, state, scan_chunk=4)
+    assert streamed["loss"] == pytest.approx(in_memory["loss"], rel=1e-6)
+    assert streamed["accuracy"] == pytest.approx(in_memory["accuracy"], rel=1e-6)

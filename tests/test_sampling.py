@@ -112,3 +112,18 @@ def test_generate_ids_with_filters_runs_and_restricts():
                             length=12, temperature=1.0, seed=0, engine="xla",
                             top_k=1)
     np.testing.assert_array_equal(np.asarray(greedy_a), np.asarray(greedy_b))
+
+
+def test_top_p_nucleus_taken_over_tempered_distribution():
+    """Temperature applies before top-p: the nucleus is the p-mass prefix of
+    the distribution actually sampled. At T=2 the flattened distribution's
+    0.8-nucleus of [.6,.3,.07,.03] grows from {0,1} to {0,1,2}."""
+    logits = jnp.log(jnp.asarray([0.6, 0.3, 0.07, 0.03]))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3000)
+    samples = np.asarray(
+        jax.vmap(lambda r: sample_filtered(r, logits, 2.0, top_p=0.8))(keys)
+    )
+    support = set(samples.tolist())
+    assert 2 in support  # in the T=2 nucleus, outside the T=1 nucleus
+    assert 3 not in support  # outside both
+    assert support <= {0, 1, 2}
