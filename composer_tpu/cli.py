@@ -589,6 +589,61 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
 
 
 @cli.command()
+@click.argument("model-type", type=EnumType(ModelType, False))
+@click.argument("restoredir")
+@click.option("--host", default="127.0.0.1", help="Bind address. Defaults to 127.0.0.1.")
+@click.option("--port", default=8000, help="Bind port. Defaults to 8000.")
+@click.option("--max-batch-size", default=8,
+              help="Most concurrent requests coalesced into one batched decode. Defaults to 8.")
+@click.option("--max-wait-ms", default=20.0,
+              help="How long the batcher waits to fill a batch. Defaults to 20 ms.")
+@click.option("--default-length", default=1024,
+              help="Generation length when a request omits 'length'. Defaults to 1024.")
+def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
+          default_length):
+    """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
+
+    Restores the model once, keeps it resident on the device, and coalesces
+    concurrent requests into batched decodes (the batched fused kernel
+    scales near-linearly in the batch on TPU — BENCHMARKS.md). Request
+    body: {"events": [...]} or {"midi_base64": "..."} plus optional
+    length/temperature/top_k/top_p/prompt_length/return_midi.
+    """
+    from composer_tpu.serving import GenerationService, build_server
+
+    config = get_config_from_restoredir(restoredir)
+    trainer = _make_trainer(model_type, config)
+    state = trainer.restore(
+        restoredir, get_batch_size(model_type, config), get_window_size(model_type, config)
+    )
+    variables = (
+        state.params
+        if model_type == ModelType.TRANSFORMER
+        else {"params": state.params, **state.extra_vars}
+    )
+    vocab = vocabulary_from_config(config)
+    service = GenerationService(
+        trainer.model, model_type, variables, vocab.size,
+        max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
+        seed=get_seed(),
+    )
+    server = build_server(
+        service, config, host=host, port=port, default_length=default_length,
+    )
+    logging.info(
+        "Serving %s on http://%s:%d (POST /v1/generate, GET /v1/health).",
+        model_type.value, host, server.server_port,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logging.info("Shutting down.")
+    finally:
+        server.server_close()
+        service.close()
+
+
+@cli.command()
 @click.argument("midi_filepath")
 @click.option("--sf-path", "soundfont_filepath", default=None,
               help="The filepath of the soundfont to use. If not specified, uses the default soundfont.")

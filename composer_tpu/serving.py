@@ -1,0 +1,343 @@
+"""HTTP serving for trained models.
+
+Beyond the reference, which had no serving story — its decode loop lived in
+the CLI (reference cli.py:662-676) and regenerated one file per invocation.
+This module keeps a restored model resident on the device and serves
+generation over HTTP:
+
+* ``POST /v1/generate`` — JSON body with either ``events`` (a list of event
+  ids) or ``midi_base64`` (a base64 Standard MIDI File) as the prompt, plus
+  optional ``length``, ``temperature``, ``top_k``, ``top_p``,
+  ``prompt_length`` and ``return_midi``. Responds with the generated
+  ``events`` (prompt included) and, for MIDI prompts or ``return_midi``,
+  a ``midi_base64`` rendering.
+* ``GET /v1/health`` — model/backend liveness info.
+
+Architecture: HTTP threads enqueue requests and block; a single generation
+worker owns the device and coalesces compatible requests — same
+(prompt length, generate length, temperature, top_k, top_p) — into one
+batched ``generate_ids`` call. Batches pad up to power-of-two buckets
+(capped at ``max_batch_size``) so XLA compiles a handful of programs
+instead of one per concurrency level. On TPU the batched fused decode
+kernel gives near-linear throughput scaling in the batch (BENCHMARKS.md),
+so coalescing is where serving throughput comes from.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from composer_tpu.exceptions import InvalidParameterError
+from composer_tpu.models import ModelType
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt_ids: np.ndarray
+    length: int
+    temperature: float
+    top_k: int
+    top_p: float
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+    @property
+    def signature(self):
+        return (
+            int(self.prompt_ids.shape[0]),
+            self.length,
+            self.temperature,
+            self.top_k,
+            self.top_p,
+        )
+
+
+def _bucket(n: int, cap: int) -> int:
+    size = 1
+    while size < n:
+        size *= 2
+    return min(size, max(cap, n))
+
+
+class GenerationService:
+    """Batches concurrent generation requests through one device worker."""
+
+    def __init__(self, model, model_type: ModelType, variables,
+                 vocab_size: int, max_batch_size: int = 8,
+                 max_wait_ms: float = 20.0, seed: int = 0):
+        self.model = model
+        self.model_type = model_type
+        self.variables = variables
+        self.vocab_size = vocab_size
+        self.max_batch_size = max(1, int(max_batch_size))
+        self.max_wait_s = max(0.0, float(max_wait_ms) / 1000.0)
+        self.batch_sizes = []  # per processed batch, for observability/tests
+        self._seed = seed
+        self._seed_lock = threading.Lock()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker = threading.Thread(
+            target=self._run, name="generation-worker", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------------ public
+    def submit(self, prompt_ids, length: int, temperature: float = 1.0,
+               top_k: int = 0, top_p: float = 0.0) -> np.ndarray:
+        """Blocks until the request is generated; returns prompt + new ids."""
+        prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
+        if prompt.size == 0:
+            raise InvalidParameterError("Prompt must contain at least one event.")
+        if prompt.min() < 0 or prompt.max() >= self.vocab_size:
+            raise InvalidParameterError(
+                f"Prompt ids must be in [0, {self.vocab_size})."
+            )
+        if length <= 0:
+            raise InvalidParameterError("length must be positive.")
+        request = _Request(
+            prompt, int(length), float(temperature), int(top_k), float(top_p)
+        )
+        self._queue.put(request)
+        request.done.wait()
+        if request.error is not None:
+            raise request.error
+        return request.result
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+
+    # ------------------------------------------------------------------ worker
+    def _next_seed(self) -> int:
+        with self._seed_lock:
+            self._seed += 1
+            return self._seed
+
+    def _run(self):
+        import time as time_module
+
+        while True:
+            request = self._queue.get()
+            if request is None:
+                return
+            batch = [request]
+            deferred = []
+            deadline = time_module.monotonic() + self.max_wait_s
+            # Coalesce compatible requests until the batch fills or the
+            # wait window closes; incompatible ones go back for later.
+            while len(batch) < self.max_batch_size:
+                remaining = deadline - time_module.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    for item in deferred:
+                        self._queue.put(item)
+                    self._process(batch)
+                    return
+                if nxt.signature == request.signature:
+                    batch.append(nxt)
+                else:
+                    deferred.append(nxt)
+            for item in deferred:
+                self._queue.put(item)
+            self._process(batch)
+
+    def _process(self, batch):
+        from composer_tpu.train.generate import generate_ids
+
+        try:
+            rows = len(batch)
+            padded = _bucket(rows, self.max_batch_size)
+            prompts = np.stack(
+                [r.prompt_ids for r in batch]
+                + [batch[-1].prompt_ids] * (padded - rows)
+            )
+            head = batch[0]
+            ids = generate_ids(
+                self.model, self.model_type, self.variables, prompts,
+                length=head.length, temperature=head.temperature,
+                seed=self._next_seed(), top_k=head.top_k, top_p=head.top_p,
+            )
+            self.batch_sizes.append(rows)
+            for row, request in enumerate(batch):
+                request.result = np.asarray(ids[row])
+                request.done.set()
+        except Exception as error:  # surface to every waiter, keep serving
+            for request in batch:
+                request.error = error
+                request.done.set()
+
+
+# ---------------------------------------------------------------------- codec
+def _prompt_from_json(body, config, prompt_length: Optional[int]):
+    """Returns prompt ids from an ``events`` list or ``midi_base64`` field."""
+    from composer_tpu.midi.events import NoteSequence
+
+    if ("events" in body) == ("midi_base64" in body):
+        raise InvalidParameterError(
+            "Provide exactly one of 'events' (a list of event ids) or "
+            "'midi_base64' (a base64 Standard MIDI File) as the prompt."
+        )
+    if "events" in body:
+        events = body["events"]
+        if not isinstance(events, list) or not all(
+            isinstance(e, int) for e in events
+        ):
+            raise InvalidParameterError("'events' must be a list of integers.")
+        ids = np.asarray(events, dtype=np.int32)
+    else:
+        try:
+            midi_bytes = base64.b64decode(body["midi_base64"], validate=True)
+        except Exception:
+            raise InvalidParameterError(
+                "'midi_base64' is not valid base64."
+            ) from None
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".mid")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(midi_bytes)
+            try:
+                sequence = NoteSequence.from_midi(path).trim_start()
+            except InvalidParameterError:
+                raise
+            except Exception as error:
+                raise InvalidParameterError(
+                    f"Could not parse prompt MIDI: {error}"
+                ) from None
+        finally:
+            os.unlink(path)
+        event_sequence = sequence.to_event_sequence(
+            config.dataset.time_step_increment,
+            config.dataset.max_time_steps,
+            config.dataset.velocity_bins,
+        )
+        ids = event_sequence.to_ids().astype(np.int32)
+        if ids.size == 0:
+            raise InvalidParameterError(
+                "Prompt MIDI contains no events after encoding."
+            )
+    if prompt_length is not None:
+        ids = ids[: int(prompt_length)]
+    return ids
+
+
+def _midi_base64_from_ids(ids, config) -> str:
+    import os
+    import tempfile
+
+    from composer_tpu.midi.events import EventSequence
+
+    event_sequence = EventSequence.from_ids(
+        np.asarray(ids),
+        config.dataset.time_step_increment,
+        config.dataset.max_time_steps,
+        config.dataset.velocity_bins,
+    )
+    fd, path = tempfile.mkstemp(suffix=".mid")
+    os.close(fd)
+    try:
+        event_sequence.to_note_sequence().to_midi(path)
+        with open(path, "rb") as fh:
+            return base64.b64encode(fh.read()).decode()
+    finally:
+        os.unlink(path)
+
+
+# ----------------------------------------------------------------------- http
+class _Handler(BaseHTTPRequestHandler):
+    # Set by build_server:
+    service: GenerationService = None
+    config = None
+    defaults = None
+
+    def log_message(self, format, *args):  # route through our logging
+        logging.debug("serve: " + format, *args)
+
+    def _reply(self, status: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path != "/v1/health":
+            return self._reply(404, {"error": f"Unknown path '{self.path}'."})
+        import jax
+
+        service = type(self).service
+        self._reply(200, {
+            "status": "ok",
+            "model_type": service.model_type.value,
+            "vocab_size": service.vocab_size,
+            "backend": jax.default_backend(),
+            "max_batch_size": service.max_batch_size,
+            "requests_served": int(sum(service.batch_sizes)),
+        })
+
+    def do_POST(self):
+        if self.path != "/v1/generate":
+            return self._reply(404, {"error": f"Unknown path '{self.path}'."})
+        try:
+            size = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(size) or b"{}")
+            if not isinstance(body, dict):
+                raise InvalidParameterError("Request body must be a JSON object.")
+            defaults = type(self).defaults
+            prompt_ids = _prompt_from_json(
+                body, type(self).config, body.get("prompt_length")
+            )
+            ids = type(self).service.submit(
+                prompt_ids,
+                length=int(body.get("length", defaults["length"])),
+                temperature=float(body.get("temperature", defaults["temperature"])),
+                top_k=int(body.get("top_k", 0)),
+                top_p=float(body.get("top_p", 0.0)),
+            )
+        except InvalidParameterError as error:
+            return self._reply(400, {"error": str(error)})
+        except (ValueError, TypeError, json.JSONDecodeError) as error:
+            return self._reply(400, {"error": f"Invalid request: {error}"})
+        except Exception as error:  # generation failure
+            logging.exception("serve: generation failed")
+            return self._reply(500, {"error": str(error)})
+
+        payload = {"events": [int(i) for i in ids]}
+        if body.get("return_midi", "midi_base64" in body):
+            payload["midi_base64"] = _midi_base64_from_ids(ids, type(self).config)
+        self._reply(200, payload)
+
+
+def build_server(service: GenerationService, config, host: str = "127.0.0.1",
+                 port: int = 8000, default_length: int = 1024,
+                 default_temperature: float = 1.0) -> ThreadingHTTPServer:
+    """Builds (without starting) the HTTP server bound to ``host:port``.
+
+    ``port=0`` binds an ephemeral port (tests); read ``server.server_port``.
+    Call ``server.serve_forever()`` to run and ``server.shutdown()`` to stop.
+    """
+    handler = type("Handler", (_Handler,), {
+        "service": service,
+        "config": config,
+        "defaults": {
+            "length": default_length, "temperature": default_temperature,
+        },
+    })
+    return ThreadingHTTPServer((host, port), handler)

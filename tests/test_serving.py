@@ -1,0 +1,168 @@
+"""HTTP serving tests: request batching, both prompt codecs, error paths."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import composer_tpu.config as config_lib
+from composer_tpu.models import ModelType
+from composer_tpu.models.transformer import Transformer, TransformerConfig
+from composer_tpu.serving import GenerationService, build_server
+
+VOCAB = 390  # default codec vocab so MIDI prompts encode in-range
+WINDOW = 64
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=4, max_wait_ms=300.0,
+    )
+    config = config_lib.get_default()
+    http_server = build_server(service, config, port=0, default_length=12)
+    thread = threading.Thread(target=http_server.serve_forever, daemon=True)
+    thread.start()
+    yield http_server, service
+    http_server.shutdown()
+    http_server.server_close()
+    service.close()
+
+
+def _post(server, payload, path="/v1/generate"):
+    port = server.server_port
+    request = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(request, timeout=60) as response:
+        return response.status, json.loads(response.read())
+
+
+def test_health(server):
+    http_server, _ = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{http_server.server_port}/v1/health", timeout=30
+    ) as response:
+        body = json.loads(response.read())
+    assert body["status"] == "ok"
+    assert body["model_type"] == "transformer"
+    assert body["vocab_size"] == VOCAB
+
+
+def test_generate_from_event_ids(server):
+    http_server, _ = server
+    status, body = _post(
+        http_server,
+        {"events": [1, 2, 3], "length": 5, "temperature": 0.8},
+    )
+    assert status == 200
+    events = body["events"]
+    assert events[:3] == [1, 2, 3] and len(events) == 8
+    assert all(0 <= e < VOCAB for e in events)
+    assert "midi_base64" not in body
+
+
+def test_generate_from_midi_prompt_returns_midi(server):
+    from composer_tpu.midi.events import Note, NoteSequence
+    from composer_tpu.midi import midi_io
+
+    http_server, _ = server
+    notes = [Note(i * 200.0, i * 200.0 + 150.0, 60 + i, 80) for i in range(4)]
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".mid")
+    os.close(fd)
+    try:
+        NoteSequence(notes).to_midi(path)
+        midi_b64 = base64.b64encode(open(path, "rb").read()).decode()
+    finally:
+        os.unlink(path)
+
+    status, body = _post(
+        http_server,
+        {"midi_base64": midi_b64, "length": 4, "prompt_length": 6},
+    )
+    assert status == 200
+    assert len(body["events"]) == 10  # 6 prompt + 4 generated
+    generated = base64.b64decode(body["midi_base64"])
+    parsed = midi_io.parse_midi(generated)  # round-trips as a valid SMF
+    assert sum(len(i.notes) for i in parsed.instruments) >= 1
+
+
+def test_concurrent_requests_are_batched(server):
+    http_server, service = server
+    # Warm the compile for this signature so batching isn't skewed by the
+    # first request compiling while others queue.
+    _post(http_server, {"events": [5, 6], "length": 3})
+
+    before = len(service.batch_sizes)
+    results = [None] * 3
+
+    def call(i):
+        results[i] = _post(http_server, {"events": [5, 6], "length": 3})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(status == 200 for status, _ in results)
+    new_batches = service.batch_sizes[before:]
+    assert sum(new_batches) == 3
+    assert max(new_batches) >= 2  # coalesced, not 3 singleton decodes
+
+
+def test_bad_requests_are_400(server):
+    http_server, _ = server
+    for payload in [
+        {},  # no prompt
+        {"events": [1], "midi_base64": "AAAA"},  # both prompts
+        {"events": ["x"]},  # non-integer ids
+        {"events": [VOCAB + 5]},  # out of vocab
+        {"events": [1], "length": 0},  # bad length
+        {"midi_base64": "!!!not-base64!!!"},
+        {"midi_base64": base64.b64encode(b"junkjunkjunk").decode()},
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as info:
+            _post(http_server, payload)
+        assert info.value.code == 400, payload
+        detail = json.loads(info.value.read())
+        assert "error" in detail
+
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(http_server, {"events": [1]}, path="/v1/nope")
+    assert info.value.code == 404
+
+
+def test_incompatible_signatures_both_complete(server):
+    http_server, _ = server
+    results = [None] * 2
+
+    def call(i, length):
+        results[i] = _post(http_server, {"events": [7, 8, 9], "length": length})
+
+    threads = [
+        threading.Thread(target=call, args=(0, 2)),
+        threading.Thread(target=call, args=(1, 4)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0][0] == 200 and len(results[0][1]["events"]) == 5
+    assert results[1][0] == 200 and len(results[1][1]["events"]) == 7
