@@ -46,6 +46,8 @@ import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax import lax
 
+from composer_tpu.ops.dropout import dropout_keep_mask
+
 
 # Experiment knobs (A/B benchmarking; defaults = production behavior).
 # COMPOSER_BAND_NS overrides the split depth; COMPOSER_BAND_SAVE_KV=1 adds the
@@ -264,8 +266,8 @@ def _band_causal_attention_split(
         w_rows = chunks[0] if t == 0 else jnp.concatenate(chunks, axis=-1)
         probs = _masked_softmax(w_rows)
         if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_rng, t), 1.0 - dropout_rate, probs.shape
+            keep = dropout_keep_mask(
+                jax.random.fold_in(dropout_rng, t), dropout_rate, probs.shape
             )
             probs = probs * keep.astype(dt) / (1.0 - dropout_rate)
         v_chunks = [
@@ -362,7 +364,7 @@ def _band_causal_attention(
     probs = (unnormalized / row_sum).astype(dt)
 
     if dropout_rng is not None and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        keep = dropout_keep_mask(dropout_rng, dropout_rate, probs.shape)
         probs = probs * keep.astype(dt) / (1.0 - dropout_rate)
 
     out = jnp.einsum(

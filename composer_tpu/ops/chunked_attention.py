@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from composer_tpu.ops.dropout import dropout_keep_mask
+
 
 def _rectangular_rel_shift(band: jnp.ndarray, out_cols: int) -> jnp.ndarray:
     """band: [..., B, M] with M = out_cols + B - 1, column m holding distance
@@ -101,9 +103,9 @@ def chunked_causal_attention(
             compute_dtype
         )
         if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(
+            keep = dropout_keep_mask(
                 jax.random.fold_in(dropout_rng, chunk_index),
-                1.0 - dropout_rate,
+                dropout_rate,
                 weights.shape,
             )
             weights = weights * keep.astype(compute_dtype) / (1.0 - dropout_rate)

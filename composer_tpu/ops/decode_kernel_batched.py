@@ -7,8 +7,13 @@ dominates.
 
 Layout:
   activations   (B*R, E)   R = num_heads replicated rows; group s = seq s
-  KV caches     (L, B*C, E) sublane-stacked per sequence
-  scores        (B*R, B*C) one matmul; cross-sequence blocks masked off
+  KV caches     (L, B*C, E) sublane-stacked per sequence, appended as
+                16-row tile-aligned masked writes (KV_SLAB)
+  scores        per-sequence (R, live) matmuls — a single (B*R, B*C) matmul
+                computes BxB cross-sequence blocks and masks 7/8 away
+                (measured slower); `live` grows through staged loop
+                segments (_decode_stages) so dead cache columns are never
+                contracted
   rel bias      per-layer band matmul + one dynamic lane roll, shared across
                 sequences (all sit at the same absolute position) — see
                 ops/decode_kernel.py for the lane algebra
@@ -23,6 +28,7 @@ truncation upstream).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from composer_tpu.ops.decode_kernel import (
+    KV_SLAB,
     NEG_INF,
     _gelu_tanh,
     _layernorm,
@@ -37,6 +44,41 @@ from composer_tpu.ops.decode_kernel import (
     _round_up,
     _standardize,
 )
+
+# KV cache layout: lane-stacked (L, C, B*E) appends one slab per buffer per
+# layer (vs B slabs with the sublane-stacked (L, B*C, E) layout); attention
+# reads per-sequence lane slices. Measured on v5e-1 at batch 8 x 1014:
+# 84.3k events/s vs 97.7k sublane-stacked (the lane-sliced matmul operands
+# and the (B, E) -> (1, B*E) relayouts cost more than the append fan-out
+# saves) — kept as an A/B knob, default off.
+_LANESTACK = os.environ.get("COMPOSER_DECODE_LANESTACK", "0") == "1"
+
+# Token-loop staging depth. Segment k of the generation loop contracts
+# attention over only the first `live` cache rows (bit-identical: trimmed
+# rows are zero-initialised and causally masked). Measured on v5e-1 at
+# batch 8 x 1014 with 16-row KV slabs: 107.0k events/s staged(4) vs 97.7k
+# unstaged — with the append traffic fixed, the B per-sequence score/AV
+# matmuls are the next cost and trimming their dead columns shows. The
+# single-sequence kernel is NOT staged: there the attention share is small
+# and staging measured ~2x slower tail steps (41k vs 77k marginal).
+_MAX_STAGES = int(os.environ.get("COMPOSER_DECODE_STAGES", "4"))
+
+
+def _decode_stages(cache_len: int, num_steps: int):
+    """Static (start_step, end_step, live_rows) segments for a growing cache.
+
+    128-aligned, at most _MAX_STAGES segments (each segment re-traces the
+    unrolled layer loop, so Mosaic compile time scales with the count).
+    """
+    step_rows = _round_up(-(-cache_len // _MAX_STAGES), 128)
+    stages = []
+    start, live = 0, step_rows
+    while start < num_steps:
+        live = min(live, cache_len)
+        end = num_steps if live >= cache_len else min(live, num_steps)
+        stages.append((start, end, live))
+        start, live = end, live + step_rows
+    return stages
 
 
 def _batched_kernel(
@@ -50,7 +92,7 @@ def _batched_kernel(
     *, batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
-    greedy: bool, use_rel: bool,
+    greedy: bool, use_rel: bool, lanestack: bool,
 ):
     B, R, E, C = batch, num_heads, embed_dim, cache_len
     prompt_len = prompt_ref.shape[1]
@@ -70,8 +112,9 @@ def _batched_kernel(
     ).astype(jnp.float32)
     rowmask = jnp.tile(rowmask_one, (B, 1))  # (B*R, E)
 
-    cache_cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
+    slab_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (KV_SLAB, B * E if lanestack else E), 0
+    )
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
     vocab_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
     vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
@@ -100,144 +143,184 @@ def _batched_kernel(
             axis=0,
         )  # (B*R, Vpad)
 
-    def step(i, onehot):
-        position = i
+    def make_step(live):
+        # ``live`` = cache rows this segment's attention contracts per
+        # sequence (static, 128-aligned, >= position + 1 in the segment).
+        cache_cols = jax.lax.broadcasted_iota(jnp.int32, (R, live), 1)
 
-        tok_embed = jax.lax.dot_general(
-            onehot, wte_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B*R, E)
-        pos_onehot = (wpe_cols == jnp.minimum(position, window - 1)).astype(
-            wpe_ref.dtype
-        )
-        pos_embed = jax.lax.dot_general(
-            pos_onehot, wpe_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, E)
-        h = tok_embed + pos_embed  # (B*R, E)
+        def step(i, onehot):
+            position = i
 
-        for layer in range(num_layers):
-            x1 = _layernorm(h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps)
-            qkv = _matmul(x1, qkv_w_ref[layer]) + qkv_b_ref[layer].astype(jnp.float32)
-            q = qkv[:, :E]
-            k_small = collapse(qkv[:, E : 2 * E])  # (B, E) one row per seq
-            v_small = collapse(qkv[:, 2 * E :])
+            tok_embed = jax.lax.dot_general(
+                onehot, wte_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, E)
+            pos_onehot = (wpe_cols == jnp.minimum(position, window - 1)).astype(
+                wpe_ref.dtype
+            )
+            pos_embed = jax.lax.dot_general(
+                pos_onehot, wpe_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, E)
+            h = tok_embed + pos_embed  # (B*R, E)
 
-            # Append each sequence's k/v at row s*C + position.
-            slab = pl.multiple_of((position // 128) * 128, 128)
-            row_hit = slab_rows == (position - slab)
-            for s in range(B):
-                base = s * C
-                k_slab = kbuf[layer, pl.ds(base + slab, 128), :]
-                kbuf[layer, pl.ds(base + slab, 128), :] = jnp.where(
-                    row_hit,
-                    jnp.broadcast_to(k_small[s : s + 1], (128, E)),
-                    k_slab,
-                ).astype(kbuf.dtype)
-                v_slab = vbuf[layer, pl.ds(base + slab, 128), :]
-                vbuf[layer, pl.ds(base + slab, 128), :] = jnp.where(
-                    row_hit,
-                    jnp.broadcast_to(v_small[s : s + 1], (128, E)),
-                    v_slab,
-                ).astype(vbuf.dtype)
+            for layer in range(num_layers):
+                x1 = _layernorm(h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps)
+                qkv = _matmul(x1, qkv_w_ref[layer]) + qkv_b_ref[layer].astype(jnp.float32)
+                q = qkv[:, :E]
+                k_small = collapse(qkv[:, E : 2 * E])  # (B, E) one row per seq
+                v_small = collapse(qkv[:, 2 * E :])
 
-            qb_f32 = q * rowmask  # (B*R, E)
-            qb = qb_f32.astype(kbuf.dtype)
+                # Append each sequence's k/v (tile-aligned KV_SLAB-row masked
+                # writes). Lane-stacked: ONE slab RMW per buffer (row
+                # `position`, sequence s at lanes s*E..); sublane-stacked: one
+                # per sequence at row s*C + position.
+                slab = pl.multiple_of((position // KV_SLAB) * KV_SLAB, KV_SLAB)
+                row_hit = slab_rows == (position - slab)
+                if lanestack:
+                    k_wide = k_small.reshape(1, B * E)
+                    v_wide = v_small.reshape(1, B * E)
+                    k_slab = kbuf[layer, pl.ds(slab, KV_SLAB), :]
+                    kbuf[layer, pl.ds(slab, KV_SLAB), :] = jnp.where(
+                        row_hit,
+                        jnp.broadcast_to(k_wide, (KV_SLAB, B * E)),
+                        k_slab,
+                    ).astype(kbuf.dtype)
+                    v_slab = vbuf[layer, pl.ds(slab, KV_SLAB), :]
+                    vbuf[layer, pl.ds(slab, KV_SLAB), :] = jnp.where(
+                        row_hit,
+                        jnp.broadcast_to(v_wide, (KV_SLAB, B * E)),
+                        v_slab,
+                    ).astype(vbuf.dtype)
+                else:
+                    for s in range(B):
+                        base = s * C
+                        k_slab = kbuf[layer, pl.ds(base + slab, KV_SLAB), :]
+                        kbuf[layer, pl.ds(base + slab, KV_SLAB), :] = jnp.where(
+                            row_hit,
+                            jnp.broadcast_to(k_small[s : s + 1], (KV_SLAB, E)),
+                            k_slab,
+                        ).astype(kbuf.dtype)
+                        v_slab = vbuf[layer, pl.ds(base + slab, KV_SLAB), :]
+                        vbuf[layer, pl.ds(base + slab, KV_SLAB), :] = jnp.where(
+                            row_hit,
+                            jnp.broadcast_to(v_small[s : s + 1], (KV_SLAB, E)),
+                            v_slab,
+                        ).astype(vbuf.dtype)
 
-            if use_rel:
-                # Shear-free relative bias (ops/decode_kernel.py): cache slot
-                # j needs E row (window-1-position+j) — contract against only
-                # the 128-aligned (C+128)-row superset of that run, then one
-                # dynamic roll fixes the sub-tile offset; zero padding absorbs
-                # out-of-table distances. All sequences share the table, so
-                # this stays one (B*R)-row matmul (no cross-sequence waste).
-                rel_start = _round_up(C, 128) + window - 1 - position
-                rel_aligned = pl.multiple_of((rel_start // 128) * 128, 128)
-                band = jax.lax.dot_general(
-                    qb, rel_pad_ref[layer, pl.ds(rel_aligned, C + 128), :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (B*R, C + 128); lane m holds E row (rel_aligned + m)
-                rolled = pltpu.roll(
-                    band, C + 128 - (rel_start - rel_aligned), axis=1
+                qb_f32 = q * rowmask  # (B*R, E)
+                qb = qb_f32.astype(kbuf.dtype)
+
+                if use_rel:
+                    # Shear-free relative bias (ops/decode_kernel.py): cache slot
+                    # j needs E row (window-1-position+j) — contract against only
+                    # the 128-aligned (C+128)-row superset of that run, then one
+                    # dynamic roll fixes the sub-tile offset; zero padding absorbs
+                    # out-of-table distances. All sequences share the table, so
+                    # this stays one (B*R)-row matmul (no cross-sequence waste).
+                    rel_start = _round_up(C, 128) + window - 1 - position
+                    rel_aligned = pl.multiple_of((rel_start // 128) * 128, 128)
+                    band = jax.lax.dot_general(
+                        qb, rel_pad_ref[layer, pl.ds(rel_aligned, live + 128), :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (B*R, live + 128); lane m holds E row (rel_aligned + m)
+                    rolled = pltpu.roll(
+                        band, live + 128 - (rel_start - rel_aligned), axis=1
+                    )
+
+                # Attention per sequence (static unrolled loop): a single
+                # (B*R, B*C) scores matmul would compute all BxB cross-sequence
+                # blocks and mask 7/8 of them away — 8x wasted MXU at B=8, and
+                # the scores/AV matmuls dominate the step there.
+                attn_rows = []
+                for s in range(B):
+                    qb_s = qb[s * R : (s + 1) * R]  # (R, E)
+                    k_live = (
+                        kbuf[layer, pl.ds(0, live), pl.ds(s * E, E)]
+                        if lanestack
+                        else kbuf[layer, pl.ds(s * C, live), :]
+                    )
+                    scores = jax.lax.dot_general(
+                        qb_s, k_live,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (R, live)
+                    if use_rel:
+                        scores = scores + rolled[s * R : (s + 1) * R, :live]
+                    scores = scores * softmax_scale
+                    scores = jnp.where(cache_cols <= position, scores, NEG_INF)
+
+                    m = jnp.max(scores, axis=1, keepdims=True)
+                    p = jnp.exp(scores - m)
+                    w = p / jnp.sum(p, axis=1, keepdims=True)
+
+                    v_live = (
+                        vbuf[layer, pl.ds(0, live), pl.ds(s * E, E)]
+                        if lanestack
+                        else vbuf[layer, pl.ds(s * C, live), :]
+                    )
+                    mixed = jax.lax.dot_general(
+                        w.astype(vbuf.dtype), v_live,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (R, E)
+                    attn_rows.append(
+                        jnp.sum(mixed * rowmask_one, axis=0, keepdims=True)
+                    )  # (1, E)
+                attn = expand(jnp.concatenate(attn_rows, axis=0))  # (B*R, E)
+                attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(
+                    jnp.float32
+                )
+                x2 = x1 + attn
+
+                # ln_2's scale/bias live inside fc_w/fc_b (pack-time fold).
+                mm = _standardize(x2, ln_eps)
+                hidden = _gelu_tanh(
+                    _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
+                )
+                h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(
+                    jnp.float32
                 )
 
-            # Attention per sequence (static unrolled loop): a single
-            # (B*R, B*C) scores matmul would compute all BxB cross-sequence
-            # blocks and mask 7/8 of them away — 8x wasted MXU at B=8, and
-            # the scores/AV matmuls dominate the step there.
-            attn_rows = []
-            for s in range(B):
-                qb_s = qb[s * R : (s + 1) * R]  # (R, E)
-                scores = jax.lax.dot_general(
-                    qb_s, kbuf[layer, s * C : (s + 1) * C, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (R, C)
-                if use_rel:
-                    scores = scores + rolled[s * R : (s + 1) * R, :C]
-                scores = scores * softmax_scale
-                scores = jnp.where(cache_cols <= position, scores, NEG_INF)
+            # ln_f's scale lives inside wte_t; its bias + vocab-pad mask arrive
+            # pre-combined as logits_b.
+            hf = _standardize(h, ln_eps)
+            logits_wide = _matmul(hf, wte_t_ref[...])  # (B*R, Vpad)
+            logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
 
-                m = jnp.max(scores, axis=1, keepdims=True)
-                p = jnp.exp(scores - m)
-                w = p / jnp.sum(p, axis=1, keepdims=True)
+            if greedy:
+                scored = logits
+            else:
+                bits = pltpu.prng_random_bits((B, vocab_pad))
+                mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
+                uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
+                scored = logits / temperature + (-jnp.log(-jnp.log(uniform)))
 
-                mixed = jax.lax.dot_general(
-                    w.astype(vbuf.dtype), vbuf[layer, s * C : (s + 1) * C, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (R, E)
-                attn_rows.append(
-                    jnp.sum(mixed * rowmask_one, axis=0, keepdims=True)
-                )  # (1, E)
-            attn = expand(jnp.concatenate(attn_rows, axis=0))  # (B*R, E)
-            attn = _matmul(attn, proj_w_ref[layer]) + proj_b_ref[layer].astype(
-                jnp.float32
+            # First-max index per sequence as a (B, 1) vector (== jnp.argmax).
+            peak = jnp.max(scored, axis=1, keepdims=True)
+            next_index = jnp.min(
+                jnp.where(scored == peak, vocab_cols_b, vocab_pad), axis=1, keepdims=True
+            )  # (B, 1) int32
+
+            tokens_ref[:] = jnp.where(
+                out_cols == i - (prompt_len - 1), next_index, tokens_ref[:]
             )
-            x2 = x1 + attn
+            sampled_onehot = (
+                expand(jnp.broadcast_to(next_index, (B, vocab_pad)))
+                == jax.lax.broadcasted_iota(jnp.int32, (B * R, vocab_pad), 1)
+            ).astype(onehot.dtype)
+            return jnp.where(i + 1 < prompt_len, prompt_onehots(i + 1), sampled_onehot)
 
-            # ln_2's scale/bias live inside fc_w/fc_b (pack-time fold).
-            mm = _standardize(x2, ln_eps)
-            hidden = _gelu_tanh(
-                _matmul(mm, fc_w_ref[layer]) + fc_b_ref[layer].astype(jnp.float32)
-            )
-            h = x2 + _matmul(hidden, fp_w_ref[layer]) + fp_b_ref[layer].astype(
-                jnp.float32
-            )
+        return step
 
-        # ln_f's scale lives inside wte_t; its bias + vocab-pad mask arrive
-        # pre-combined as logits_b.
-        hf = _standardize(h, ln_eps)
-        logits_wide = _matmul(hf, wte_t_ref[...])  # (B*R, Vpad)
-        logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
-
-        if greedy:
-            scored = logits
-        else:
-            bits = pltpu.prng_random_bits((B, vocab_pad))
-            mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
-            uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
-            scored = logits / temperature + (-jnp.log(-jnp.log(uniform)))
-
-        # First-max index per sequence as a (B, 1) vector (== jnp.argmax).
-        peak = jnp.max(scored, axis=1, keepdims=True)
-        next_index = jnp.min(
-            jnp.where(scored == peak, vocab_cols_b, vocab_pad), axis=1, keepdims=True
-        )  # (B, 1) int32
-
-        tokens_ref[:] = jnp.where(
-            out_cols == i - (prompt_len - 1), next_index, tokens_ref[:]
+    carry = prompt_onehots(0)
+    for seg_start, seg_end, live in _decode_stages(cache_len, num_steps):
+        carry = jax.lax.fori_loop(
+            seg_start, seg_end, make_step(live), carry, unroll=False
         )
-        sampled_onehot = (
-            expand(jnp.broadcast_to(next_index, (B, vocab_pad)))
-            == jax.lax.broadcasted_iota(jnp.int32, (B * R, vocab_pad), 1)
-        ).astype(onehot.dtype)
-        return jnp.where(i + 1 < prompt_len, prompt_onehots(i + 1), sampled_onehot)
-
-    jax.lax.fori_loop(0, num_steps, step, prompt_onehots(0), unroll=False)
 
 
 @functools.partial(
@@ -249,6 +332,8 @@ def _batched_impl(
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
 ):
     E = config.embed_dim
+    # Lane-stacked KV needs 128-aligned per-sequence lane slices.
+    lanestack = _LANESTACK and E % 128 == 0
     batch, prompt_len = prompts.shape
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
@@ -286,6 +371,7 @@ def _batched_impl(
         scale_attention=config.scale_attention,
         greedy=greedy,
         use_rel=use_rel,
+        lanestack=lanestack,
     )
 
     scalars = (
@@ -308,9 +394,14 @@ def _batched_impl(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
-            pltpu.VMEM((config.num_layers, batch * cache_len, E), packed["wte"].dtype),
-        ],
+            pltpu.VMEM(
+                (config.num_layers, cache_len, batch * E)
+                if lanestack
+                else (config.num_layers, batch * cache_len, E),
+                packed["wte"].dtype,
+            ),
+        ]
+        * 2,
     )
 
     tokens = pl.pallas_call(

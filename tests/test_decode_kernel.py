@@ -135,6 +135,85 @@ def test_batched_kernel_matches_xla_greedy(use_relative):
     np.testing.assert_array_equal(np.asarray(out), expected)
 
 
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_batched_kernel_lanestacked_matches_xla_greedy(use_relative, monkeypatch):
+    """The lane-stacked KV layout (COMPOSER_DECODE_LANESTACK=1, one append
+    slab per buffer) must stay greedy-identical — it is off by default
+    (measured slower on v5e-1) but remains a supported A/B knob."""
+    from composer_tpu.ops import decode_kernel_batched as dkb
+
+    monkeypatch.setattr(dkb, "_LANESTACK", True)
+    config = TransformerConfig(
+        vocab_size=390, embed_dim=128, window_size=64, num_layers=2,
+        num_heads=4, use_relative_attention=use_relative,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        initializer_stddev=0.3, dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    assert config.embed_dim % 128 == 0
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    prompts = np.array([[5, 100, 300, 17], [9, 42, 7, 250], [1, 2, 3, 4]], np.int32)
+    length = 10
+
+    expected = np.asarray(
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts,
+            length=length, temperature=0.0, seed=0, engine="xla",
+        )
+    )[:, prompts.shape[1]:]
+
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    out = dkb.megakernel_generate_batched(
+        packed, prompts, 0, 0.0,
+        config=config, length=length, cache_len=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+    assert len(set(np.asarray(out).ravel().tolist())) > 1
+
+
+def test_long_generation_matches_xla_greedy():
+    """A multi-hundred-step generation across several KV slab boundaries
+    (and past the learned window) stays greedy-identical to the XLA path —
+    both kernels. (A staged-cache-growth variant that contracted only the
+    grown cache prefix was measured on v5e-1 and REMOVED: no batch-8 change,
+    and ~2x slower tail steps at batch 1 — see TODO.md.)"""
+    from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+    config, model, params = _setup()
+    prompt = np.array([5, 100, 300, 17], np.int32)
+    length = 140  # prompt 4 + 140 -> 143 steps across several 16-row slabs
+    cache_len = 384
+
+    xla_out = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompt[None],
+        length=length, temperature=0.0, seed=0, engine="xla",
+        cache_len=cache_len,
+    )
+    expected = np.asarray(xla_out[0, len(prompt):])
+
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    tokens = dk.megakernel_generate(
+        packed, prompt, seed=0, temperature=0.0,
+        config=config, length=length, cache_len=cache_len, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), expected)
+    assert len(set(expected.tolist())) > 1
+
+    prompts = np.stack([prompt, prompt[::-1].copy()])
+    expected_b = np.asarray(
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts,
+            length=length, temperature=0.0, seed=0, engine="xla",
+            cache_len=cache_len,
+        )
+    )[:, prompts.shape[1]:]
+    out = megakernel_generate_batched(
+        packed, prompts, 0, 0.0,
+        config=config, length=length, cache_len=cache_len, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected_b)
+
+
 def test_chunked_engine_splits_large_batches(setup):
     """Batches beyond one kernel's VMEM run as sequential fused dispatches:
     the engine slices the prompt batch, seeds each chunk differently, and

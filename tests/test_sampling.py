@@ -127,3 +127,33 @@ def test_top_p_nucleus_taken_over_tempered_distribution():
     assert 2 in support  # in the T=2 nucleus, outside the T=1 nucleus
     assert 3 not in support  # outside both
     assert support <= {0, 1, 2}
+
+
+class TestDropoutKeepMask:
+    """16-bit attention-dropout masks (ops/dropout.py)."""
+
+    def test_keep_probability_and_determinism(self):
+        from composer_tpu.ops.dropout import dropout_keep_mask
+
+        rng = jax.random.PRNGKey(7)
+        mask = dropout_keep_mask(rng, 0.1, (512, 512))
+        again = dropout_keep_mask(rng, 0.1, (512, 512))
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(again))
+        # Mean keep rate within 4 sigma of 0.9 (sigma ~ sqrt(p q / n)).
+        mean = float(jnp.mean(mask.astype(jnp.float32)))
+        assert abs(mean - 0.9) < 4 * (0.09 / 512**2) ** 0.5 + 2e-5
+
+        other = dropout_keep_mask(jax.random.PRNGKey(8), 0.1, (512, 512))
+        assert np.asarray(mask != other).mean() > 0.05
+
+    def test_rate_quantization_bounds(self):
+        from composer_tpu.ops.dropout import dropout_keep_mask
+
+        # Threshold rounding keeps the realized rate within 2^-16 of request.
+        for rate in (0.1, 0.3, 0.5, 1 / 3):
+            threshold = min(int(round(rate * 65536.0)), 65535)
+            realized = threshold / 65536.0
+            assert abs(realized - rate) <= 2**-16
+        # Degenerate rates stay valid masks.
+        all_keep = dropout_keep_mask(jax.random.PRNGKey(0), 0.0, (8, 128))
+        assert bool(jnp.all(all_keep))
