@@ -481,8 +481,9 @@ def run_all(write_markdown=True):
         (
             # The reference trains with dropout 0.1 by default; mask
             # generation is a real cost at this scale (~2.3G bernoulli draws
-            # per step), kept affordable by the trainer's rbg dropout keys
-            # (measured v5e-1: 284 ms/step vs 356 with threefry).
+            # per step), kept affordable by the trainer's rbg dropout keys +
+            # 16-bit integer-compare masks (measured v5e-1: 222 ms/step vs
+            # 284 rbg/f32-uniform vs 356 threefry).
             "train step (2048 ctx, reference-default dropout 0.1)",
             lambda: run_train_benchmark(
                 batch_size=8, window_size=2048, dropout_rate=0.1,

@@ -56,12 +56,16 @@ _LANESTACK = os.environ.get("COMPOSER_DECODE_LANESTACK", "0") == "1"
 # Token-loop staging depth. Segment k of the generation loop contracts
 # attention over only the first `live` cache rows (bit-identical: trimmed
 # rows are zero-initialised and causally masked). Measured on v5e-1 at
-# batch 8 x 1014 with 16-row KV slabs: 107.0k events/s staged(4) vs 97.7k
-# unstaged — with the append traffic fixed, the B per-sequence score/AV
-# matmuls are the next cost and trimming their dead columns shows. The
-# single-sequence kernel is NOT staged: there the attention share is small
-# and staging measured ~2x slower tail steps (41k vs 77k marginal).
-_MAX_STAGES = int(os.environ.get("COMPOSER_DECODE_STAGES", "4"))
+# batch 8 x 1014 with 16-row KV slabs: unstaged 97.7k events/s, staged(4)
+# 102-107k, staged(8) **118.6k** — with the append traffic fixed, the B
+# per-sequence score/AV matmuls and their softmaxes are the next cost and
+# trimming dead columns shows super-linearly (VPU softmax width and
+# per-matmul fixed costs shrink with `live` too). Each segment re-traces
+# the unrolled layer loop, so Mosaic compile time scales with the depth;
+# 128-row granularity caps the useful depth at C/128. The single-sequence
+# kernel is NOT staged: there the attention share is small and staging
+# measured ~2x slower tail steps (41k vs 77k marginal).
+_MAX_STAGES = int(os.environ.get("COMPOSER_DECODE_STAGES", "8"))
 
 
 def _decode_stages(cache_len: int, num_steps: int):

@@ -137,12 +137,14 @@ class Trainer:
 
         Dropout mask generation is a real cost at long context: at 2048 ctx
         batch 8 the band-attention probs alone draw ~2.3G bernoulli samples
-        per step, and the default threefry generator spends 155 ms/step on
+        per step, and the default threefry generator spent 155 ms/step on
         them (measured v5e-1: 201 ms/step at dropout 0 vs 356 ms at the
         reference-default 0.1). The TPU-native ``rbg`` generator (hardware
-        RNG primitive) cuts that to 83 ms (284 ms/step). On TPU backends we
-        therefore default the *dropout* key — and only it; param init stays
-        on the default impl for cross-backend reproducibility — to ``rbg``.
+        RNG primitive) cut that to 83 ms, and the 16-bit integer-compare
+        masks (ops/dropout.py) to ~22 ms (222 ms/step total). On TPU
+        backends we therefore default the *dropout* key — and only it;
+        param init stays on the default impl for cross-backend
+        reproducibility — to ``rbg``.
         Masks remain deterministic per seed, but differ from the threefry
         masks; set ``dropout_rng_impl: threefry2x32`` (config) to opt out.
         """
