@@ -108,6 +108,72 @@ def _matmul(x, w):
     )
 
 
+def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None):
+    """Top-k / nucleus filtering on temperature-scaled logits, in-kernel.
+
+    scaled: (N, Vpad) f32 rows; padding lanes already at ~NEG_INF. Static
+    ``top_k`` (0 = off) and ``top_p`` (0 = off). Threshold semantics match
+    ops/sampling.py::sample_filtered — ties at the k-th value / nucleus
+    boundary are kept:
+
+        survives top-k  iff  #{j: x_j > x_i} < k
+        survives top-p  iff  sum_{j: x_j > x_i} softmax(x)_j < p
+
+    Both counts come from ONE (Vpad, Vpad) strict-comparison matrix per row,
+    contracted against [ones | probs] columns in a single standard-form f32
+    MXU dot — ranks and nucleus masses are exact vs the XLA filter.
+    Row<->column moves are jnp.transpose (lowers exactly in compiled
+    Mosaic); dots stay in the ((1,), (0,)) orientation only — the
+    transposed-contraction forms miscompile (an identity-matmul transpose
+    via dims ((1,), (1,)) produced silently off-by-one ranks compiled, and
+    bf16 operands in those forms fail Mosaic verification).
+
+    Cost: N (Vpad, Vpad) compares + N (Vpad, Vpad)x(Vpad, 2) dots per
+    decode step — the XLA-scan fallback this replaces costs ~10x the whole
+    fused step at batch 8.
+    """
+    del weight_dtype  # f32 throughout; see docstring
+    n, vpad = scaled.shape
+    x_cols = jnp.transpose(scaled)  # (Vpad, N)
+
+    ncols = (1 if top_k else 0) + (1 if top_p else 0)
+    ones_col = jnp.ones((vpad, 1), jnp.float32)
+    if top_p:
+        m = jnp.max(scaled, axis=1, keepdims=True)
+        e = jnp.exp(scaled - m)
+        probs = e / jnp.sum(e, axis=1, keepdims=True)  # (N, Vpad) f32
+        probs_cols = jnp.transpose(probs)  # (Vpad, N)
+
+    keep_cols = []
+    for s in range(n):
+        # cmp[i, j] = [x_j > x_i]  (candidate i on sublanes, others on lanes).
+        cmp = (scaled[s : s + 1] > x_cols[:, s : s + 1]).astype(jnp.float32)
+        cols = (
+            [ones_col] if top_k else []
+        ) + ([probs_cols[:, s : s + 1]] if top_p else [])
+        counts = jax.lax.dot_general(
+            cmp, cols[0] if ncols == 1 else jnp.concatenate(cols, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Vpad, ncols): strict rank and/or strict mass-before
+        keep = jnp.ones((vpad, 1), jnp.float32)
+        col = 0
+        if top_k:
+            keep = keep * (counts[:, col : col + 1] < float(top_k)).astype(
+                jnp.float32
+            )
+            col += 1
+        if top_p:
+            keep = keep * (counts[:, col : col + 1] < float(top_p)).astype(
+                jnp.float32
+            )
+        keep_cols.append(keep)
+
+    keep_mat = keep_cols[0] if n == 1 else jnp.concatenate(keep_cols, axis=1)
+    keep_rows = jnp.transpose(keep_mat)  # (N, Vpad)
+    return jnp.where(keep_rows > 0.5, scaled, NEG_INF)
+
+
 def _decode_kernel(
     # scalar prefetch (SMEM)
     start_pos_ref, prompt_ref, seed_ref, temp_ref,
@@ -123,7 +189,7 @@ def _decode_kernel(
     *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
     cache_len: int, window: int, vocab_pad: int, vocab_size: int,
     num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
-    use_rel: bool, has_prefill: bool,
+    use_rel: bool, has_prefill: bool, top_k: int = 0, top_p: float = 0.0,
 ):
     prompt_len = prompt_ref.shape[0]
     out_len = num_steps - prompt_len + 1
@@ -283,8 +349,22 @@ def _decode_kernel(
         logits = _matmul(hf, wte_t_ref[...])[0:1] + logits_b_ref[...]  # (1, Vpad)
 
         if greedy:
+            # Filters leave the argmax in place (the top-1 token always
+            # survives top-k and top-p), so applying them here is a no-op
+            # semantically — but it lets interpret-mode tests cover the
+            # in-kernel filter wiring (the PRNG ops of the sampled branch
+            # don't exist in interpret mode).
             scored = logits
+            if top_k or top_p:
+                scored = _filtered_scaled_logits(
+                    scored, top_k, top_p, wte_ref.dtype
+                )
         else:
+            scaled = logits / temperature
+            if top_k or top_p:
+                scaled = _filtered_scaled_logits(
+                    scaled, top_k, top_p, wte_ref.dtype
+                )
             # Gumbel-max sampling.
             bits = pltpu.prng_random_bits((1, vocab_pad))
             # uint32 -> f32 isn't lowerable; shift to 23 bits (sign-safe) and
@@ -292,7 +372,7 @@ def _decode_kernel(
             mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
             uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
             gumbel = -jnp.log(-jnp.log(uniform))
-            scored = logits / temperature + gumbel
+            scored = scaled + gumbel
 
         next_token = jnp.argmax(scored, axis=1)[0].astype(jnp.int32)
         # Iterations 0..prompt_len-2 are teacher-forced prompt consumption;
@@ -405,12 +485,13 @@ def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
     jax.jit,
     static_argnames=(
         "config", "num_steps", "cache_len", "interpret", "greedy", "has_prefill",
+        "top_k", "top_p",
     ),
 )
 def _megakernel_decode_impl(
     packed, k_rows, v_rows, start_pos, prompt, seed, temperature,
     *, config, num_steps: int, cache_len: int, interpret: bool, greedy: bool,
-    has_prefill: bool,
+    has_prefill: bool, top_k: int = 0, top_p: float = 0.0,
 ):
     E = config.embed_dim
     vocab_pad = packed["wte"].shape[0]
@@ -451,6 +532,8 @@ def _megakernel_decode_impl(
         num_steps=num_steps,
         ln_eps=config.layer_norm_epsilon,
         scale_attention=config.scale_attention,
+        top_k=top_k,
+        top_p=top_p,
     )
 
     scalars = (
@@ -497,6 +580,7 @@ def _megakernel_decode_impl(
 def megakernel_decode(
     packed, k_rows, v_rows, start_pos, token0, seed, temperature,
     *, config, num_steps: int, cache_len: int, interpret: bool = False,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     """Runs ``num_steps`` of single-token decoding entirely in one kernel.
 
@@ -510,12 +594,14 @@ def megakernel_decode(
         jnp.reshape(jnp.asarray(token0, jnp.int32), (1,)), seed, temperature,
         config=config, num_steps=num_steps, cache_len=cache_len,
         interpret=interpret, greedy=greedy, has_prefill=True,
+        top_k=int(top_k), top_p=float(top_p),
     )
 
 
 def megakernel_generate(
     packed, prompt, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     """Full single-kernel generation: the prompt is consumed token-by-token
     (teacher-forced) inside the kernel, so there is no external prefill, no
@@ -536,5 +622,5 @@ def megakernel_generate(
         packed, dummy, dummy, 0, prompt, seed, temperature,
         config=config, num_steps=prompt.shape[0] + length - 1,
         cache_len=cache_len, interpret=interpret, greedy=greedy,
-        has_prefill=False,
+        has_prefill=False, top_k=int(top_k), top_p=float(top_p),
     )

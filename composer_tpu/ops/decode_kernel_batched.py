@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from composer_tpu.ops.decode_kernel import (
     KV_SLAB,
     NEG_INF,
+    _filtered_scaled_logits,
     _gelu_tanh,
     _layernorm,
     _matmul,
@@ -97,6 +98,7 @@ def _batched_kernel(
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
     greedy: bool, use_rel: bool, lanestack: bool,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     B, R, E, C = batch, num_heads, embed_dim, cache_len
     prompt_len = prompt_ref.shape[1]
@@ -296,12 +298,23 @@ def _batched_kernel(
             logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
 
             if greedy:
+                # Argmax-invariant; see ops/decode_kernel.py (interpret-mode
+                # coverage of the filter wiring).
                 scored = logits
+                if top_k or top_p:
+                    scored = _filtered_scaled_logits(
+                        scored, top_k, top_p, wte_ref.dtype
+                    )
             else:
+                scaled = logits / temperature
+                if top_k or top_p:
+                    scaled = _filtered_scaled_logits(
+                        scaled, top_k, top_p, wte_ref.dtype
+                    )
                 bits = pltpu.prng_random_bits((B, vocab_pad))
                 mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
                 uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
-                scored = logits / temperature + (-jnp.log(-jnp.log(uniform)))
+                scored = scaled + (-jnp.log(-jnp.log(uniform)))
 
             # First-max index per sequence as a (B, 1) vector (== jnp.argmax).
             peak = jnp.max(scored, axis=1, keepdims=True)
@@ -329,11 +342,14 @@ def _batched_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "length", "cache_len", "interpret", "greedy"),
+    static_argnames=(
+        "config", "length", "cache_len", "interpret", "greedy", "top_k", "top_p",
+    ),
 )
 def _batched_impl(
     packed, prompts, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     E = config.embed_dim
     # Lane-stacked KV needs 128-aligned per-sequence lane slices.
@@ -376,6 +392,8 @@ def _batched_impl(
         greedy=greedy,
         use_rel=use_rel,
         lanestack=lanestack,
+        top_k=top_k,
+        top_p=top_p,
     )
 
     scalars = (
@@ -422,6 +440,7 @@ def _batched_impl(
 def megakernel_generate_batched(
     packed, prompts, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     """Generates ``length`` tokens for each of B prompts in one kernel.
 
@@ -435,4 +454,5 @@ def megakernel_generate_batched(
         packed, prompts, seed, temperature,
         config=config, length=length, cache_len=cache_len,
         interpret=interpret, greedy=greedy,
+        top_k=int(top_k), top_p=float(top_p),
     )

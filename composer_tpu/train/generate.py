@@ -204,7 +204,8 @@ class TransformerDecoder:
         self.params = params
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
-        def pipeline(params, packed, prompt, rng, seed, temperature, cache_len, length):
+        def pipeline(params, packed, prompt, rng, seed, temperature, cache_len,
+                     length, top_k, top_p):
             # ONE device program per generate call: the kernel consumes the
             # prompt teacher-forced and samples every new token itself — no
             # external prefill or cache transform (per-dispatch latency over
@@ -219,20 +220,24 @@ class TransformerDecoder:
                 tokens = decode_kernel.megakernel_generate(
                     packed, prompt[0], seed, temperature,
                     config=model.config, length=length, cache_len=cache_len,
+                    top_k=top_k, top_p=top_p,
                 )
                 return tokens[None, :]
             return megakernel_generate_batched(
                 packed, prompt, seed, temperature,
                 config=model.config, length=length, cache_len=cache_len,
+                top_k=top_k, top_p=top_p,
             )
 
         # temperature static: 0.0 selects the argmax branches; recompiles
-        # only when the temperature value changes.
+        # only when the temperature/filter values change.
         self._pipeline = jax.jit(
-            pipeline, static_argnames=("temperature", "cache_len", "length")
+            pipeline,
+            static_argnames=("temperature", "cache_len", "length", "top_k", "top_p"),
         )
 
-    def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None):
+    def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None,
+                 top_k=0, top_p=0.0):
         prompt = jnp.asarray(prompt, jnp.int32)
         if prompt.ndim == 1:
             prompt = prompt[None]
@@ -264,6 +269,7 @@ class TransformerDecoder:
                     self.params, self.packed, prompt[start : start + chunk],
                     jax.random.PRNGKey(chunk_seed),
                     chunk_seed, float(temperature), cache_len, length,
+                    int(top_k), float(top_p),
                 )
             )
         return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)
@@ -272,7 +278,8 @@ class TransformerDecoder:
 _ENGINE_CACHE = {}
 
 
-def _megakernel_generate(model, params, prompt, length, temperature, seed, cache_len):
+def _megakernel_generate(model, params, prompt, length, temperature, seed,
+                         cache_len, top_k=0, top_p=0.0):
     key = (id(model), id(params))
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
@@ -281,7 +288,7 @@ def _megakernel_generate(model, params, prompt, length, temperature, seed, cache
         _ENGINE_CACHE[key] = engine
     return engine.generate(
         prompt, length, temperature=temperature, seed=seed,
-        cache_len=max(cache_len, 128),
+        cache_len=max(cache_len, 128), top_k=top_k, top_p=top_p,
     )
 
 
@@ -307,8 +314,9 @@ def generate_ids(
     transformers, XLA scan otherwise), 'megakernel', or 'xla'.
     ``top_k``/``top_p`` filter the sampling distribution (0 disables each;
     beyond the reference, whose sampler was temperature-only). The fused
-    megakernel implements temperature sampling only, so filtered requests
-    route to the XLA scan automatically.
+    kernels implement both filters in-kernel (rank/nucleus thresholds via
+    MXU comparison contractions; ops/decode_kernel.py), so filtered
+    requests stay on the fused path.
     """
     prompt = jnp.asarray(prompt_ids, dtype=jnp.int32)
     squeeze = prompt.ndim == 1
@@ -316,16 +324,17 @@ def generate_ids(
         prompt = prompt[None]
     rng = jax.random.PRNGKey(seed)
 
-    filtered = bool(top_k) or (0.0 < top_p < 1.0)
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        if not filtered and _use_megakernel(
+        if _use_megakernel(
             model, model_type, prompt.shape[0], cache_len, engine
         ):
             generated = _megakernel_generate(
                 model, params_or_variables, prompt, length,
                 temperature, seed, cache_len,
+                top_k=int(top_k) if top_k and top_k > 0 else 0,
+                top_p=float(top_p) if 0.0 < top_p < 1.0 else 0.0,
             )
         else:
             generated = _transformer_generate(

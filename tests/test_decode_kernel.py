@@ -174,9 +174,10 @@ def test_batched_kernel_lanestacked_matches_xla_greedy(use_relative, monkeypatch
 def test_long_generation_matches_xla_greedy():
     """A multi-hundred-step generation across several KV slab boundaries
     (and past the learned window) stays greedy-identical to the XLA path —
-    both kernels. (A staged-cache-growth variant that contracted only the
-    grown cache prefix was measured on v5e-1 and REMOVED: no batch-8 change,
-    and ~2x slower tail steps at batch 1 — see TODO.md.)"""
+    both kernels. The batched kernel's loop runs as staged segments here
+    (cache 384 -> stage edges at each 128 rows), so this also pins carry
+    continuity across segment boundaries; the single-sequence kernel is
+    unstaged by design (see TODO.md for the measured A/B matrix)."""
     from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
 
     config, model, params = _setup()
@@ -225,7 +226,8 @@ def test_chunked_engine_splits_large_batches(setup):
 
     calls = []
 
-    def fake_pipeline(params, packed, prompt, rng, seed, temperature, cache_len, length):
+    def fake_pipeline(params, packed, prompt, rng, seed, temperature, cache_len,
+                      length, top_k, top_p):
         calls.append((prompt.shape[0], int(seed)))
         # Tag outputs with the seed so ordering is checkable.
         return jnp.full((prompt.shape[0], length), seed, jnp.int32)
@@ -309,3 +311,125 @@ def test_generation_past_window_matches_xla_greedy(use_relative):
     )
     np.testing.assert_array_equal(np.asarray(tokens), expected)
     assert len(set(expected.tolist())) > 1
+
+
+class TestInKernelSamplingFilters:
+    """Top-k / nucleus filtering inside the fused kernels
+    (ops/decode_kernel.py::_filtered_scaled_logits)."""
+
+    def _rows(self, rng, n=3, vocab=390, vpad=512):
+        x = rng.normal(0.0, 3.0, (n, vpad)).astype(np.float32)
+        x[:, vocab:] = dk.NEG_INF  # padding lanes, like the kernel's logits_b
+        return jnp.asarray(x)
+
+    @staticmethod
+    def _kept(filtered):
+        return np.asarray(filtered) > dk.NEG_INF / 2
+
+    def test_top_k_mask_matches_xla_filter(self, rng):
+        from composer_tpu.ops import sampling
+
+        x = self._rows(rng)
+        for k in (1, 5, 40, 390, 512):
+            ours = self._kept(dk._filtered_scaled_logits(x, k, 0.0, jnp.float32))
+            ref = np.asarray(sampling.filter_top_k(x, min(k, 512))) > dk.NEG_INF / 2
+            np.testing.assert_array_equal(ours, ref, err_msg=f"k={k}")
+
+    def test_top_p_mask_matches_xla_filter(self, rng):
+        from composer_tpu.ops import sampling
+
+        # Masses are f32 on both sides but accumulate in different orders
+        # (sorted cumsum vs MXU dot tree), so masks may legitimately differ
+        # for tokens whose strict mass-before sits within float noise of p.
+        x = self._rows(rng)
+        xf = np.asarray(x).astype(np.float64)
+        e = np.exp(xf - xf.max(axis=1, keepdims=True))
+        probs = e / e.sum(axis=1, keepdims=True)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            ours = self._kept(dk._filtered_scaled_logits(x, 0, p, jnp.float32))
+            ref = np.isfinite(np.asarray(sampling.filter_top_p(x, p)))
+            mass_before = (probs[:, None, :] * (xf[:, None, :] > xf[:, :, None])).sum(-1)
+            boundary = np.abs(mass_before - p) < 1e-4
+            disagree = ours != ref
+            assert not (disagree & ~boundary).any(), f"p={p}"
+            # And never off by much: kept-count difference bounded by the
+            # number of boundary tokens.
+            assert (np.abs(ours.sum(1) - ref.sum(1)) <= boundary.sum(1)).all()
+
+    def test_combined_filters_compose(self, rng):
+        from composer_tpu.ops import sampling
+
+        x = self._rows(rng)
+        ours = self._kept(dk._filtered_scaled_logits(x, 20, 0.8, jnp.float32))
+        # XLA order: top-k first, then nucleus over survivors. The kernel
+        # computes both thresholds on the UNFILTERED row — for the nucleus
+        # this matches because dropping non-top-k tokens only removes mass
+        # STRICTLY BELOW any surviving token, never mass above it...
+        # except it renormalizes. Compare against the kernel's own
+        # definition: survives iff rank < k AND strict-mass-before < p on
+        # the unfiltered distribution; assert it is a SUBSET of top-k and a
+        # SUPERSET of XLA's composed filter intersected with top-k.
+        topk_only = self._kept(dk._filtered_scaled_logits(x, 20, 0.0, jnp.float32))
+        xla = np.isfinite(
+            np.asarray(
+                sampling.filter_top_p(sampling.filter_top_k(x, 20), 0.8)
+            )
+        )
+        assert (ours <= topk_only).all()
+        assert (xla <= topk_only).all()
+        # Argmax always survives everywhere.
+        best = np.asarray(jnp.argmax(x, axis=1))
+        for row in range(x.shape[0]):
+            assert ours[row, best[row]] and xla[row, best[row]]
+
+    def test_greedy_generation_invariant_under_filters(self):
+        """Filters keep the argmax, so greedy tokens are unchanged — this
+        runs the filter code INSIDE both kernels under interpret mode (the
+        sampled branch needs the on-core PRNG, which interpret lacks)."""
+        from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+        config, model, params = _setup()
+        packed = dk.pack_weights(params, config, dtype=jnp.float32)
+        prompt = np.array([5, 100, 300, 17], np.int32)
+
+        plain = dk.megakernel_generate(
+            packed, prompt, seed=0, temperature=0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+        )
+        filt = dk.megakernel_generate(
+            packed, prompt, seed=0, temperature=0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+            top_k=5, top_p=0.9,
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(filt))
+
+        prompts = np.stack([prompt, prompt[::-1].copy()])
+        plain_b = megakernel_generate_batched(
+            packed, prompts, 0, 0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+        )
+        filt_b = megakernel_generate_batched(
+            packed, prompts, 0, 0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+            top_k=5, top_p=0.9,
+        )
+        np.testing.assert_array_equal(np.asarray(plain_b), np.asarray(filt_b))
+
+    def test_engine_routes_filtered_requests_to_kernel(self, setup):
+        """generate_ids no longer falls back to the XLA scan for top-k/top-p
+        on the fused path: the engine pipeline receives the filter values."""
+        from composer_tpu.train import generate as gen
+
+        config, model, params = setup
+        engine = gen.TransformerDecoder(model, params, dtype=jnp.float32)
+        seen = []
+
+        def fake_pipeline(params, packed, prompt, rng, seed, temperature,
+                          cache_len, length, top_k, top_p):
+            seen.append((top_k, top_p))
+            return jnp.zeros((prompt.shape[0], length), jnp.int32)
+
+        engine._pipeline = fake_pipeline
+        engine.generate(jnp.zeros((2, 4), jnp.int32), length=6,
+                        temperature=0.8, top_k=12, top_p=0.95)
+        assert seen == [(12, 0.95)]
