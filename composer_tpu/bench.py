@@ -281,6 +281,79 @@ def run_rnn_decode_benchmark(length: int = 1024, batch_size: int = 8, repeats: i
     }
 
 
+def run_serving_benchmark(
+    concurrency: int = 32,
+    length: int = 1014,
+    prompt_length: int = 10,
+    max_batch_size: int = 8,
+    dtype=None,
+    seed: int = 0,
+):
+    """Coalesced serving throughput (the `composer serve` data plane).
+
+    ``concurrency`` client threads block on GenerationService.submit; the
+    service's single device worker coalesces same-signature requests into
+    power-of-two batches and dispatches the fused batched decode kernel.
+    Measures aggregate generated events/sec across the burst — the number a
+    serving deployment actually sees, including queueing, padding waste,
+    and sequential dispatch of the coalesced batches.
+    """
+    import threading
+
+    from composer_tpu.models import ModelType
+    from composer_tpu.serving import GenerationService
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    model = _default_transformer(False, dtype)
+    params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, vocab_size=390,
+        max_batch_size=max_batch_size, seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    prompts = rng.integers(0, 390, (concurrency, prompt_length)).astype(np.int32)
+
+    def burst():
+        threads = []
+        for index in range(concurrency):
+            thread = threading.Thread(
+                target=service.submit, args=(prompts[index], length)
+            )
+            thread.start()
+            threads.append(thread)
+        for thread in threads:
+            thread.join()
+
+    try:
+        # Warmup burst compiles the full-bucket kernel; the timed burst then
+        # runs pure cached dispatches.
+        burst()
+        warmup_batches = len(service.batch_sizes)
+        start = time.perf_counter()
+        burst()
+        elapsed = time.perf_counter() - start
+    finally:
+        batch_sizes = list(service.batch_sizes)
+        service.close()
+    timed_batches = batch_sizes[warmup_batches:]
+
+    events_per_sec = concurrency * length / elapsed
+    return {
+        "metric": "serving_events_per_sec",
+        "value": round(events_per_sec, 1),
+        "unit": "events/sec/chip",
+        "vs_baseline": round(events_per_sec / DECODE_TARGET_EVENTS_PER_SEC, 3),
+        "detail": {
+            "concurrency": concurrency, "length": length,
+            "max_batch_size": max_batch_size, "seconds": round(elapsed, 3),
+            "coalesced_batches": timed_batches,
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: int = 0):
     """MIDI -> .data preprocessing throughput (BASELINE.md row 3)."""
     import tempfile
@@ -473,6 +546,10 @@ def run_all(write_markdown=True):
             lambda: run_batched_decode_benchmark(),
         ),
         ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
+        (
+            "serving (32 concurrent clients, coalesced batches of 8)",
+            run_serving_benchmark,
+        ),
         ("preprocess (MIDI -> .data, full augmentation)", run_preprocess_benchmark),
         (
             "train step (relative attention, 2048 ctx)",

@@ -45,3 +45,11 @@ def test_train_benchmark_smoke():
 
 def test_rnn_train_benchmark_smoke():
     _check_schema(bench.run_rnn_train_benchmark(batch_size=2, window_size=16, steps=1))
+
+
+def test_serving_benchmark_smoke():
+    result = bench.run_serving_benchmark(
+        concurrency=3, length=8, prompt_length=4, max_batch_size=2
+    )
+    _check_schema(result)
+    assert sum(result["detail"]["coalesced_batches"]) == 3
