@@ -108,13 +108,37 @@ def _matmul(x, w):
     )
 
 
-def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None):
+def _threshold_rows(value, n: int):
+    """Normalizes a filter threshold to (enabled, per-row list of scalars).
+
+    ``value`` may be: None / a non-positive Python number (disabled), a
+    positive Python number (same threshold every row), a traced scalar
+    (same traced threshold every row), or a sequence of n per-row scalars
+    (mixed batches; disabled rows carry an always-true sentinel — see
+    the megakernel entry points). Enabled/disabled is STATIC: it decides
+    whether the comparison column exists in the kernel at all.
+    """
+    if value is None:
+        return False, None
+    if isinstance(value, (int, float)):
+        if value <= 0:
+            return False, None
+        return True, [float(value)] * n
+    if isinstance(value, (list, tuple)):
+        if len(value) != n:
+            raise ValueError(f"expected {n} per-row thresholds, got {len(value)}")
+        return True, list(value)
+    return True, [value] * n  # a single traced scalar
+
+
+def _filtered_scaled_logits(scaled, top_k, top_p, weight_dtype=None):
     """Top-k / nucleus filtering on temperature-scaled logits, in-kernel.
 
-    scaled: (N, Vpad) f32 rows; padding lanes already at ~NEG_INF. Static
-    ``top_k`` (0 = off) and ``top_p`` (0 = off). Threshold semantics match
-    ops/sampling.py::sample_filtered — ties at the k-th value / nucleus
-    boundary are kept:
+    scaled: (N, Vpad) f32 rows; padding lanes already at ~NEG_INF.
+    ``top_k`` / ``top_p`` accept anything :func:`_threshold_rows` does —
+    static numbers, traced scalars, or per-row sequences (0/None = off).
+    Threshold semantics match ops/sampling.py::sample_filtered — ties at
+    the k-th value / nucleus boundary are kept:
 
         survives top-k  iff  #{j: x_j > x_i} < k
         survives top-p  iff  sum_{j: x_j > x_i} softmax(x)_j < p
@@ -134,11 +158,13 @@ def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None)
     """
     del weight_dtype  # f32 throughout; see docstring
     n, vpad = scaled.shape
+    use_k, k_rows = _threshold_rows(top_k, n)
+    use_p, p_rows = _threshold_rows(top_p, n)
     x_cols = jnp.transpose(scaled)  # (Vpad, N)
 
-    ncols = (1 if top_k else 0) + (1 if top_p else 0)
+    ncols = (1 if use_k else 0) + (1 if use_p else 0)
     ones_col = jnp.ones((vpad, 1), jnp.float32)
-    if top_p:
+    if use_p:
         m = jnp.max(scaled, axis=1, keepdims=True)
         e = jnp.exp(scaled - m)
         probs = e / jnp.sum(e, axis=1, keepdims=True)  # (N, Vpad) f32
@@ -149,8 +175,8 @@ def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None)
         # cmp[i, j] = [x_j > x_i]  (candidate i on sublanes, others on lanes).
         cmp = (scaled[s : s + 1] > x_cols[:, s : s + 1]).astype(jnp.float32)
         cols = (
-            [ones_col] if top_k else []
-        ) + ([probs_cols[:, s : s + 1]] if top_p else [])
+            [ones_col] if use_k else []
+        ) + ([probs_cols[:, s : s + 1]] if use_p else [])
         counts = jax.lax.dot_general(
             cmp, cols[0] if ncols == 1 else jnp.concatenate(cols, axis=1),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -158,13 +184,13 @@ def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None)
         )  # (Vpad, ncols): strict rank and/or strict mass-before
         keep = jnp.ones((vpad, 1), jnp.float32)
         col = 0
-        if top_k:
-            keep = keep * (counts[:, col : col + 1] < float(top_k)).astype(
+        if use_k:
+            keep = keep * (counts[:, col : col + 1] < k_rows[s]).astype(
                 jnp.float32
             )
             col += 1
-        if top_p:
-            keep = keep * (counts[:, col : col + 1] < float(top_p)).astype(
+        if use_p:
+            keep = keep * (counts[:, col : col + 1] < p_rows[s]).astype(
                 jnp.float32
             )
         keep_cols.append(keep)
@@ -176,7 +202,7 @@ def _filtered_scaled_logits(scaled, top_k: int, top_p: float, weight_dtype=None)
 
 def _decode_kernel(
     # scalar prefetch (SMEM)
-    start_pos_ref, prompt_ref, seed_ref, temp_ref,
+    start_pos_ref, prompt_ref, seed_ref, temp_ref, topk_ref, topp_ref,
     # tensor inputs (VMEM)
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
@@ -189,7 +215,7 @@ def _decode_kernel(
     *, num_layers: int, num_heads: int, head_dim: int, embed_dim: int,
     cache_len: int, window: int, vocab_pad: int, vocab_size: int,
     num_steps: int, ln_eps: float, scale_attention: bool, greedy: bool,
-    use_rel: bool, has_prefill: bool, top_k: int = 0, top_p: float = 0.0,
+    use_rel: bool, has_prefill: bool, use_k: bool = False, use_p: bool = False,
 ):
     prompt_len = prompt_ref.shape[0]
     out_len = num_steps - prompt_len + 1
@@ -355,15 +381,21 @@ def _decode_kernel(
             # in-kernel filter wiring (the PRNG ops of the sampled branch
             # don't exist in interpret mode).
             scored = logits
-            if top_k or top_p:
+            if use_k or use_p:
                 scored = _filtered_scaled_logits(
-                    scored, top_k, top_p, wte_ref.dtype
+                    scored,
+                    topk_ref[0] if use_k else None,
+                    topp_ref[0] if use_p else None,
+                    wte_ref.dtype,
                 )
         else:
             scaled = logits / temperature
-            if top_k or top_p:
+            if use_k or use_p:
                 scaled = _filtered_scaled_logits(
-                    scaled, top_k, top_p, wte_ref.dtype
+                    scaled,
+                    topk_ref[0] if use_k else None,
+                    topp_ref[0] if use_p else None,
+                    wte_ref.dtype,
                 )
             # Gumbel-max sampling.
             bits = pltpu.prng_random_bits((1, vocab_pad))
@@ -485,13 +517,13 @@ def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
     jax.jit,
     static_argnames=(
         "config", "num_steps", "cache_len", "interpret", "greedy", "has_prefill",
-        "top_k", "top_p",
+        "use_k", "use_p",
     ),
 )
 def _megakernel_decode_impl(
-    packed, k_rows, v_rows, start_pos, prompt, seed, temperature,
+    packed, k_rows, v_rows, start_pos, prompt, seed, temperature, top_k, top_p,
     *, config, num_steps: int, cache_len: int, interpret: bool, greedy: bool,
-    has_prefill: bool, top_k: int = 0, top_p: float = 0.0,
+    has_prefill: bool, use_k: bool = False, use_p: bool = False,
 ):
     E = config.embed_dim
     vocab_pad = packed["wte"].shape[0]
@@ -532,15 +564,25 @@ def _megakernel_decode_impl(
         num_steps=num_steps,
         ln_eps=config.layer_norm_epsilon,
         scale_attention=config.scale_attention,
-        top_k=top_k,
-        top_p=top_p,
+        use_k=use_k,
+        use_p=use_p,
     )
+
+    # Disabled rows ride always-true sentinels (rank < Vpad+1, strict
+    # mass-before < 2), so enabling a filter column for the batch never
+    # changes a row that asked for no filtering.
+    topk_f = jnp.reshape(jnp.asarray(top_k, jnp.float32), (-1,))
+    topk_f = jnp.where(topk_f > 0, topk_f, float(vocab_pad + 1))
+    topp_f = jnp.reshape(jnp.asarray(top_p, jnp.float32), (-1,))
+    topp_f = jnp.where((topp_f > 0) & (topp_f < 1), topp_f, 2.0)
 
     scalars = (
         jnp.asarray([start_pos], jnp.int32),
         jnp.asarray(prompt, jnp.int32),
         jnp.asarray([seed], jnp.int32),
-        jnp.asarray([temperature], jnp.float32),
+        jnp.reshape(jnp.asarray(temperature, jnp.float32), (-1,)),
+        topk_f,
+        topp_f,
     )
     tensor_inputs = (
         packed["wte"], packed["wte_t"], packed["wpe"],
@@ -553,7 +595,7 @@ def _megakernel_decode_impl(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -577,31 +619,58 @@ def _megakernel_decode_impl(
     return tokens[:, 0]
 
 
+def sampling_flags(temperature, top_k, top_p, greedy=None, use_k=None,
+                   use_p=None):
+    """Static kernel-structure flags from concrete sampling values.
+
+    ``greedy`` removes the PRNG ops (the CPU interpreter cannot execute
+    them); ``use_k``/``use_p`` decide whether the filter comparison columns
+    exist at all. Callers holding only TRACED values (e.g. inside an outer
+    jit) must pass all three explicitly — deriving them needs concrete
+    numbers.
+    """
+    import numpy as np
+
+    if greedy is None:
+        greedy = bool(np.all(np.asarray(temperature) <= 0))
+    if use_k is None:
+        use_k = bool(np.any(np.asarray(top_k) > 0))
+    if use_p is None:
+        p = np.asarray(top_p, np.float64)
+        use_p = bool(np.any((p > 0) & (p < 1)))
+    return greedy, use_k, use_p
+
+
 def megakernel_decode(
     packed, k_rows, v_rows, start_pos, token0, seed, temperature,
     *, config, num_steps: int, cache_len: int, interpret: bool = False,
-    top_k: int = 0, top_p: float = 0.0,
+    top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
 ):
     """Runs ``num_steps`` of single-token decoding entirely in one kernel.
 
     Returns the sampled tokens, shape (num_steps,) int32. ``temperature <= 0``
     selects greedy argmax decoding (and statically removes the PRNG ops,
-    which the CPU interpreter cannot execute).
+    which the CPU interpreter cannot execute). Sampling params are dynamic
+    operands — changing a value between calls does not recompile; pass the
+    structure flags explicitly when calling with traced values.
     """
-    greedy = float(temperature) <= 0.0
+    greedy, use_k, use_p = sampling_flags(
+        temperature, top_k, top_p, greedy, use_k, use_p
+    )
     return _megakernel_decode_impl(
         packed, k_rows, v_rows, start_pos,
         jnp.reshape(jnp.asarray(token0, jnp.int32), (1,)), seed, temperature,
+        top_k, top_p,
         config=config, num_steps=num_steps, cache_len=cache_len,
         interpret=interpret, greedy=greedy, has_prefill=True,
-        top_k=int(top_k), top_p=float(top_p),
+        use_k=use_k, use_p=use_p,
     )
 
 
 def megakernel_generate(
     packed, prompt, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
-    top_k: int = 0, top_p: float = 0.0,
+    top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
 ):
     """Full single-kernel generation: the prompt is consumed token-by-token
     (teacher-forced) inside the kernel, so there is no external prefill, no
@@ -617,10 +686,12 @@ def megakernel_generate(
         )
     E = config.embed_dim
     dummy = jnp.zeros((config.num_layers, 128, E), packed["wte"].dtype)
-    greedy = float(temperature) <= 0.0
+    greedy, use_k, use_p = sampling_flags(
+        temperature, top_k, top_p, greedy, use_k, use_p
+    )
     return _megakernel_decode_impl(
-        packed, dummy, dummy, 0, prompt, seed, temperature,
+        packed, dummy, dummy, 0, prompt, seed, temperature, top_k, top_p,
         config=config, num_steps=prompt.shape[0] + length - 1,
         cache_len=cache_len, interpret=interpret, greedy=greedy,
-        has_prefill=False, top_k=int(top_k), top_p=float(top_p),
+        has_prefill=False, use_k=use_k, use_p=use_p,
     )

@@ -87,7 +87,7 @@ def _decode_stages(cache_len: int, num_steps: int):
 
 
 def _batched_kernel(
-    prompt_ref, seed_ref, temp_ref,
+    prompt_ref, seed_ref, temp_ref, topk_ref, topp_ref,
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
@@ -98,7 +98,7 @@ def _batched_kernel(
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
     greedy: bool, use_rel: bool, lanestack: bool,
-    top_k: int = 0, top_p: float = 0.0,
+    use_k: bool = False, use_p: bool = False,
 ):
     B, R, E, C = batch, num_heads, embed_dim, cache_len
     prompt_len = prompt_ref.shape[1]
@@ -106,6 +106,31 @@ def _batched_kernel(
 
     if not greedy:
         pltpu.prng_seed(seed_ref[0])
+        # Loop-invariant per-row sampling columns, built ONCE from the SMEM
+        # scalars (per-step slice/concat work measured -22% at batch 8).
+        # A row with temperature <= 0 scales by 1 and gets no Gumbel noise
+        # — exact greedy argmax inside a sampled batch.
+        inv_temp_col = jnp.concatenate(
+            [
+                1.0
+                / jnp.full(
+                    (1, 1),
+                    jnp.where(temp_ref[s] > 0.0, temp_ref[s], 1.0),
+                    jnp.float32,
+                )
+                for s in range(batch)
+            ],
+            axis=0,
+        )  # (B, 1)
+        noise_col = jnp.concatenate(
+            [
+                jnp.full(
+                    (1, 1), jnp.where(temp_ref[s] > 0.0, 1.0, 0.0), jnp.float32
+                )
+                for s in range(batch)
+            ],
+            axis=0,
+        )  # (B, 1)
 
     for layer in range(num_layers):
         kbuf[layer] = jnp.zeros_like(kbuf[layer])
@@ -127,7 +152,6 @@ def _batched_kernel(
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
-    temperature = temp_ref[0]
 
     def expand(x_small):  # (B, n) -> (B*R, n) replicated within groups
         return jnp.broadcast_to(
@@ -297,24 +321,32 @@ def _batched_kernel(
             logits_wide = _matmul(hf, wte_t_ref[...])  # (B*R, Vpad)
             logits = logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
 
+            # Per-row sampling params (SMEM vectors) let the serving
+            # coalescer batch requests with mixed settings: each row scales
+            # by its own temperature and filters by its own thresholds
+            # (disabled rows carry always-true sentinels). A row with
+            # temperature <= 0 scales by 1 and gets no Gumbel noise —
+            # exact greedy argmax for that row inside a sampled batch.
+            kthr = [topk_ref[s] for s in range(B)] if use_k else None
+            pthr = [topp_ref[s] for s in range(B)] if use_p else None
             if greedy:
                 # Argmax-invariant; see ops/decode_kernel.py (interpret-mode
                 # coverage of the filter wiring).
                 scored = logits
-                if top_k or top_p:
+                if use_k or use_p:
                     scored = _filtered_scaled_logits(
-                        scored, top_k, top_p, wte_ref.dtype
+                        scored, kthr, pthr, wte_ref.dtype
                     )
             else:
-                scaled = logits / temperature
-                if top_k or top_p:
+                scaled = logits * inv_temp_col
+                if use_k or use_p:
                     scaled = _filtered_scaled_logits(
-                        scaled, top_k, top_p, wte_ref.dtype
+                        scaled, kthr, pthr, wte_ref.dtype
                     )
                 bits = pltpu.prng_random_bits((B, vocab_pad))
                 mantissa = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
                 uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
-                scored = scaled + (-jnp.log(-jnp.log(uniform)))
+                scored = scaled + (-jnp.log(-jnp.log(uniform))) * noise_col
 
             # First-max index per sequence as a (B, 1) vector (== jnp.argmax).
             peak = jnp.max(scored, axis=1, keepdims=True)
@@ -343,13 +375,13 @@ def _batched_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "length", "cache_len", "interpret", "greedy", "top_k", "top_p",
+        "config", "length", "cache_len", "interpret", "greedy", "use_k", "use_p",
     ),
 )
 def _batched_impl(
-    packed, prompts, seed, temperature,
+    packed, prompts, seed, temperature, top_k, top_p,
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
-    top_k: int = 0, top_p: float = 0.0,
+    use_k: bool = False, use_p: bool = False,
 ):
     E = config.embed_dim
     # Lane-stacked KV needs 128-aligned per-sequence lane slices.
@@ -392,14 +424,30 @@ def _batched_impl(
         greedy=greedy,
         use_rel=use_rel,
         lanestack=lanestack,
-        top_k=top_k,
-        top_p=top_p,
+        use_k=use_k,
+        use_p=use_p,
     )
+
+    # Scalar-or-per-row params -> (B,) SMEM vectors; disabled rows carry
+    # always-true sentinels (rank < Vpad+1, strict mass-before < 2).
+    temps = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(temperature, jnp.float32), (-1,)), (batch,)
+    )
+    topk_f = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(top_k, jnp.float32), (-1,)), (batch,)
+    )
+    topk_f = jnp.where(topk_f > 0, topk_f, float(vocab_pad + 1))
+    topp_f = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(top_p, jnp.float32), (-1,)), (batch,)
+    )
+    topp_f = jnp.where((topp_f > 0) & (topp_f < 1), topp_f, 2.0)
 
     scalars = (
         jnp.asarray(prompts, jnp.int32),
         jnp.asarray([seed], jnp.int32),
-        jnp.asarray([temperature], jnp.float32),
+        temps,
+        topk_f,
+        topp_f,
     )
     tensor_inputs = (
         packed["wte"], packed["wte_t"], packed["wpe"],
@@ -411,7 +459,7 @@ def _batched_impl(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -440,19 +488,26 @@ def _batched_impl(
 def megakernel_generate_batched(
     packed, prompts, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
-    top_k: int = 0, top_p: float = 0.0,
+    top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
 ):
     """Generates ``length`` tokens for each of B prompts in one kernel.
 
     prompts: (B, P) int array, equal prompt lengths. Returns (B, length).
+    ``temperature``/``top_k``/``top_p`` are scalars or per-row (B,) vectors
+    (the serving coalescer batches mixed-setting requests); rows with
+    temperature <= 0 decode greedily inside a sampled batch. Pass the
+    structure flags explicitly when calling with traced values.
     """
+    from composer_tpu.ops.decode_kernel import sampling_flags
+
     prompts = jnp.asarray(prompts, jnp.int32)
     if prompts.shape[1] + length > cache_len:
         raise ValueError("prompt + length exceeds cache")
-    greedy = float(temperature) <= 0.0
+    greedy, use_k, use_p = sampling_flags(
+        temperature, top_k, top_p, greedy, use_k, use_p
+    )
     return _batched_impl(
-        packed, prompts, seed, temperature,
+        packed, prompts, seed, temperature, top_k, top_p,
         config=config, length=length, cache_len=cache_len,
-        interpret=interpret, greedy=greedy,
-        top_k=int(top_k), top_p=float(top_p),
+        interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
     )

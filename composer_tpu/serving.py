@@ -14,13 +14,20 @@ generation over HTTP:
 * ``GET /v1/health`` — model/backend liveness info.
 
 Architecture: HTTP threads enqueue requests and block; a single generation
-worker owns the device and coalesces compatible requests — same
-(prompt length, generate length, temperature, top_k, top_p) — into one
-batched ``generate_ids`` call. Batches pad up to power-of-two buckets
-(capped at ``max_batch_size``) so XLA compiles a handful of programs
-instead of one per concurrency level. On TPU the batched fused decode
-kernel gives near-linear throughput scaling in the batch (BENCHMARKS.md),
-so coalescing is where serving throughput comes from.
+worker owns the device and coalesces compatible requests into one batched
+``generate_ids`` call. Compatibility is (prompt length, generation-length
+bucket) ONLY: temperature, top_k and top_p ride into the fused kernels as
+per-row vectors (ops/decode_kernel_batched.py), so requests with different
+sampling settings — including greedy rows inside a sampled batch — share
+one device program, and changing a sampling knob between requests does not
+recompile. Generation lengths bucket to powers of two; the batch decodes
+to the bucket and each row is truncated to its requested length (exact:
+an autoregressive row's prefix does not depend on the tokens after it).
+Batches pad up to power-of-two buckets (capped at ``max_batch_size``) so
+XLA compiles a handful of programs instead of one per concurrency level.
+On TPU the batched fused decode kernel gives near-linear throughput
+scaling in the batch (BENCHMARKS.md), so coalescing is where serving
+throughput comes from.
 """
 
 from __future__ import annotations
@@ -53,20 +60,20 @@ class _Request:
 
     @property
     def signature(self):
-        return (
-            int(self.prompt_ids.shape[0]),
-            self.length,
-            self.temperature,
-            self.top_k,
-            self.top_p,
-        )
+        # Sampling params are per-row kernel operands, so only the shapes
+        # that pick the compiled program must match to coalesce.
+        return (int(self.prompt_ids.shape[0]), _pow2_ceil(self.length))
 
 
-def _bucket(n: int, cap: int) -> int:
+def _pow2_ceil(n: int) -> int:
     size = 1
     while size < n:
         size *= 2
-    return min(size, max(cap, n))
+    return size
+
+
+def _bucket(n: int, cap: int) -> int:
+    return min(_pow2_ceil(n), max(cap, n))
 
 
 class GenerationService:
@@ -161,19 +168,33 @@ class GenerationService:
         try:
             rows = len(batch)
             padded = _bucket(rows, self.max_batch_size)
+            pad = padded - rows
             prompts = np.stack(
-                [r.prompt_ids for r in batch]
-                + [batch[-1].prompt_ids] * (padded - rows)
+                [r.prompt_ids for r in batch] + [batch[-1].prompt_ids] * pad
             )
-            head = batch[0]
+            # Per-row sampling params (padding rows replicate the last
+            # request's); the batch decodes to the shared length bucket and
+            # each row is truncated to its requested length below.
+            temps = np.asarray(
+                [r.temperature for r in batch] + [batch[-1].temperature] * pad,
+                np.float32,
+            )
+            topks = np.asarray(
+                [r.top_k for r in batch] + [batch[-1].top_k] * pad, np.int32
+            )
+            topps = np.asarray(
+                [r.top_p for r in batch] + [batch[-1].top_p] * pad, np.float32
+            )
+            bucket_len = batch[0].signature[1]
+            prompt_len = prompts.shape[1]
             ids = generate_ids(
                 self.model, self.model_type, self.variables, prompts,
-                length=head.length, temperature=head.temperature,
-                seed=self._next_seed(), top_k=head.top_k, top_p=head.top_p,
+                length=bucket_len, temperature=temps,
+                seed=self._next_seed(), top_k=topks, top_p=topps,
             )
             self.batch_sizes.append(rows)
             for row, request in enumerate(batch):
-                request.result = np.asarray(ids[row])
+                request.result = np.asarray(ids[row])[: prompt_len + request.length]
                 request.done.set()
         except Exception as error:  # surface to every waiter, keep serving
             for request in batch:

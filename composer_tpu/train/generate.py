@@ -24,20 +24,24 @@ import numpy as np
 from composer_tpu.models import ModelType
 from composer_tpu.models.music_rnn import init_state as rnn_init_state
 from composer_tpu.models.transformer import init_cache
-from composer_tpu.ops.sampling import sample_filtered
+from composer_tpu.ops.sampling import sample_filtered_rows
 
 
-@partial(jax.jit, static_argnames=("model", "steps", "temperature", "top_k", "top_p"))
-def _decode_segment(model, params, cache, token, rng, steps: int, temperature: float,
-                    top_k: int = 0, top_p: float = 0.0):
-    """Runs ``steps`` scan iterations against a fixed-size cache."""
+@partial(jax.jit, static_argnames=("model", "steps"))
+def _decode_segment(model, params, cache, token, rng, steps: int, temperature,
+                    top_k, top_p):
+    """Runs ``steps`` scan iterations against a fixed-size cache.
+
+    Sampling params are traced per-row [B] vectors (serving coalesces
+    mixed-setting requests into one batch), so changing a temperature or
+    filter between calls does not recompile."""
 
     def step(carry, _):
         cache, token, rng = carry
         logits, cache = model.apply({"params": params}, token[:, None], cache)
         rng, sample_rng = jax.random.split(rng)
-        next_token = sample_filtered(
-            sample_rng, logits[:, 0], temperature, top_k=top_k, top_p=top_p
+        next_token = sample_filtered_rows(
+            sample_rng, logits[:, 0], temperature, top_k, top_p
         )
         return (cache, next_token, rng), token
 
@@ -63,18 +67,18 @@ def _grow_cache(cache, new_len: int):
     }
 
 
-@partial(jax.jit, static_argnames=("model", "cache_len", "temperature", "top_k", "top_p"))
-def _prefill(model, params, prompt, rng, cache_len: int, temperature: float,
-             top_k: int = 0, top_p: float = 0.0):
+@partial(jax.jit, static_argnames=("model", "cache_len"))
+def _prefill(model, params, prompt, rng, cache_len: int, temperature,
+             top_k, top_p):
     cache = init_cache(model.config, prompt.shape[0], cache_len)
     logits, cache = model.apply({"params": params}, prompt, cache)
-    token = sample_filtered(rng, logits[:, -1], temperature, top_k=top_k, top_p=top_p)
+    token = sample_filtered_rows(rng, logits[:, -1], temperature, top_k, top_p)
     return cache, token
 
 
 def _transformer_generate(
-    model, params, prompt, rng, length: int, cache_len: int, temperature: float,
-    top_k: int = 0, top_p: float = 0.0,
+    model, params, prompt, rng, length: int, cache_len: int, temperature,
+    top_k, top_p,
 ):
     """KV-cached scan decode with staged cache growth.
 
@@ -122,22 +126,22 @@ def _transformer_generate(
     return jnp.concatenate(chunks, axis=1)
 
 
-@partial(jax.jit, static_argnames=("model", "length", "temperature", "top_k", "top_p"))
-def _rnn_generate(model, variables, prompt, rng, length: int, temperature: float,
-                  top_k: int = 0, top_p: float = 0.0):
+@partial(jax.jit, static_argnames=("model", "length"))
+def _rnn_generate(model, variables, prompt, rng, length: int, temperature,
+                  top_k, top_p):
     batch = prompt.shape[0]
     state = rnn_init_state(model.config, batch)
 
     logits, state = model.apply(variables, prompt, state)
     rng, sample_rng = jax.random.split(rng)
-    token = sample_filtered(sample_rng, logits[:, -1], temperature, top_k=top_k, top_p=top_p)
+    token = sample_filtered_rows(sample_rng, logits[:, -1], temperature, top_k, top_p)
 
     def step(carry, _):
         state, token, rng = carry
         logits, state = model.apply(variables, token[:, None], state)
         rng, sample_rng = jax.random.split(rng)
-        next_token = sample_filtered(
-            sample_rng, logits[:, 0], temperature, top_k=top_k, top_p=top_p
+        next_token = sample_filtered_rows(
+            sample_rng, logits[:, 0], temperature, top_k, top_p
         )
         return (state, next_token, rng), token
 
@@ -192,6 +196,33 @@ def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) 
     return jax.default_backend() == "tpu"
 
 
+def _normalize_sampling(batch: int, temperature, top_k, top_p):
+    """Scalar-or-per-row sampling params -> per-row (batch,) numpy vectors.
+
+    Serving coalesces requests with different settings into one batch, so
+    every param may be a scalar (applied to all rows) or a length-``batch``
+    vector. Returned as CONCRETE numpy arrays: the callers derive static
+    kernel-structure flags (greedy / filter columns) from the values.
+    """
+
+    def vec(value, dtype, name):
+        arr = np.asarray(value, dtype).reshape(-1)
+        if arr.shape[0] == 1 and batch != 1:
+            arr = np.broadcast_to(arr, (batch,))
+        if arr.shape[0] != batch:
+            raise ValueError(
+                f"{name} must be a scalar or a length-{batch} vector, "
+                f"got shape {np.asarray(value).shape}"
+            )
+        return np.ascontiguousarray(arr)
+
+    return (
+        vec(temperature, np.float32, "temperature"),
+        vec(top_k, np.int32, "top_k"),
+        vec(top_p, np.float32, "top_p"),
+    )
+
+
 class TransformerDecoder:
     """A serving engine: packs weights once; each ``generate`` call is ONE
     fused device program (prompt consumption + sampling inside the kernel)."""
@@ -204,8 +235,8 @@ class TransformerDecoder:
         self.params = params
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
-        def pipeline(params, packed, prompt, rng, seed, temperature, cache_len,
-                     length, top_k, top_p):
+        def pipeline(params, packed, prompt, rng, seed, temps, topks, topps,
+                     cache_len, length, greedy, use_k, use_p):
             # ONE device program per generate call: the kernel consumes the
             # prompt teacher-forced and samples every new token itself — no
             # external prefill or cache transform (per-dispatch latency over
@@ -218,32 +249,41 @@ class TransformerDecoder:
             del params, rng  # packing already captured the weights
             if prompt.shape[0] == 1:
                 tokens = decode_kernel.megakernel_generate(
-                    packed, prompt[0], seed, temperature,
+                    packed, prompt[0], seed, temps,
                     config=model.config, length=length, cache_len=cache_len,
-                    top_k=top_k, top_p=top_p,
+                    top_k=topks, top_p=topps,
+                    greedy=greedy, use_k=use_k, use_p=use_p,
                 )
                 return tokens[None, :]
             return megakernel_generate_batched(
-                packed, prompt, seed, temperature,
+                packed, prompt, seed, temps,
                 config=model.config, length=length, cache_len=cache_len,
-                top_k=top_k, top_p=top_p,
+                top_k=topks, top_p=topps,
+                greedy=greedy, use_k=use_k, use_p=use_p,
             )
 
-        # temperature static: 0.0 selects the argmax branches; recompiles
-        # only when the temperature/filter values change.
+        # Sampling params are traced (B,) vectors — one compiled program
+        # covers every temperature/top-k/top-p mix per (batch, lengths,
+        # structure-flags) shape, so changing a sampling knob between
+        # requests does not recompile.
         self._pipeline = jax.jit(
             pipeline,
-            static_argnames=("temperature", "cache_len", "length", "top_k", "top_p"),
+            static_argnames=("cache_len", "length", "greedy", "use_k", "use_p"),
         )
 
     def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None,
                  top_k=0, top_p=0.0):
+        from composer_tpu.ops.decode_kernel import sampling_flags
+
         prompt = jnp.asarray(prompt, jnp.int32)
         if prompt.ndim == 1:
             prompt = prompt[None]
         if cache_len is None:
             cache_len = prompt.shape[1] + length
         cache_len = _padded_cache_len(cache_len)
+        temps, topks, topps = _normalize_sampling(
+            prompt.shape[0], temperature, top_k, top_p
+        )
 
         # Batches beyond what one kernel's VMEM holds run as sequential
         # fused dispatches (async dispatch pipelines the link round-trips).
@@ -264,12 +304,16 @@ class TransformerDecoder:
                 seed if index == 0
                 else (seed * 65537 + 2**16 + index) % (2**31)
             )
+            tc = temps[start : start + chunk]
+            kc = topks[start : start + chunk]
+            pc = topps[start : start + chunk]
+            greedy, use_k, use_p = sampling_flags(tc, kc, pc)
             outputs.append(
                 self._pipeline(
                     self.params, self.packed, prompt[start : start + chunk],
                     jax.random.PRNGKey(chunk_seed),
-                    chunk_seed, float(temperature), cache_len, length,
-                    int(top_k), float(top_p),
+                    chunk_seed, tc, kc, pc, cache_len, length,
+                    greedy, use_k, use_p,
                 )
             )
         return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)
@@ -289,6 +333,15 @@ def _megakernel_generate(model, params, prompt, length, temperature, seed,
     return engine.generate(
         prompt, length, temperature=temperature, seed=seed,
         cache_len=max(cache_len, 128), top_k=top_k, top_p=top_p,
+    )
+
+
+def _warper_arrays(temps, topks, topps):
+    """Per-row numpy params -> traced-friendly jnp arrays for the XLA path."""
+    return (
+        jnp.asarray(temps, jnp.float32),
+        jnp.asarray(topks, jnp.int32),
+        jnp.asarray(topps, jnp.float32),
     )
 
 
@@ -317,12 +370,24 @@ def generate_ids(
     kernels implement both filters in-kernel (rank/nucleus thresholds via
     MXU comparison contractions; ops/decode_kernel.py), so filtered
     requests stay on the fused path.
+
+    ``temperature``/``top_k``/``top_p`` may each be a scalar or a per-row
+    [batch] vector — the serving coalescer batches requests with different
+    sampling settings into one call. A row with temperature <= 0 decodes
+    greedily.
     """
     prompt = jnp.asarray(prompt_ids, dtype=jnp.int32)
     squeeze = prompt.ndim == 1
     if squeeze:
         prompt = prompt[None]
     rng = jax.random.PRNGKey(seed)
+    temps, topks, topps = _normalize_sampling(
+        prompt.shape[0], temperature, top_k, top_p
+    )
+    # Off values normalize to the canonical "disabled" encoding so engine
+    # selection and compile caching never distinguish e.g. top_p=0 from 1.5.
+    topks = np.where(topks > 0, topks, 0)
+    topps = np.where((topps > 0.0) & (topps < 1.0), topps, 0.0).astype(np.float32)
 
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
@@ -332,19 +397,17 @@ def generate_ids(
         ):
             generated = _megakernel_generate(
                 model, params_or_variables, prompt, length,
-                temperature, seed, cache_len,
-                top_k=int(top_k) if top_k and top_k > 0 else 0,
-                top_p=float(top_p) if 0.0 < top_p < 1.0 else 0.0,
+                temps, seed, cache_len, top_k=topks, top_p=topps,
             )
         else:
             generated = _transformer_generate(
                 model, params_or_variables, prompt, rng, length, cache_len,
-                float(temperature), int(top_k), float(top_p),
+                *_warper_arrays(temps, topks, topps),
             )
     else:
         generated = _rnn_generate(
-            model, params_or_variables, prompt, rng, length, float(temperature),
-            int(top_k), float(top_p),
+            model, params_or_variables, prompt, rng, length,
+            *_warper_arrays(temps, topks, topps),
         )
 
     result = np.asarray(jnp.concatenate([prompt, generated], axis=1))

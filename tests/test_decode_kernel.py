@@ -226,8 +226,8 @@ def test_chunked_engine_splits_large_batches(setup):
 
     calls = []
 
-    def fake_pipeline(params, packed, prompt, rng, seed, temperature, cache_len,
-                      length, top_k, top_p):
+    def fake_pipeline(params, packed, prompt, rng, seed, temps, topks, topps,
+                      cache_len, length, greedy, use_k, use_p):
         calls.append((prompt.shape[0], int(seed)))
         # Tag outputs with the seed so ordering is checkable.
         return jnp.full((prompt.shape[0], length), seed, jnp.int32)
@@ -415,6 +415,63 @@ class TestInKernelSamplingFilters:
         )
         np.testing.assert_array_equal(np.asarray(plain_b), np.asarray(filt_b))
 
+    def test_per_row_filters_greedy_invariant(self):
+        """Per-row threshold vectors (mixed batches) wire through the batched
+        kernel's SMEM scalars: greedy tokens are unchanged by any per-row
+        filter mix, and rows with filters disabled ride the always-true
+        sentinels (vocab-rank / mass-before) without effect."""
+        from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+        config, model, params = _setup()
+        packed = dk.pack_weights(params, config, dtype=jnp.float32)
+        prompt = np.array([5, 100, 300, 17], np.int32)
+        prompts = np.stack([prompt, prompt[::-1].copy(), prompt + 1])
+
+        plain = megakernel_generate_batched(
+            packed, prompts, 0, 0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+        )
+        mixed = megakernel_generate_batched(
+            packed, prompts, 0, np.zeros((3,), np.float32),
+            config=config, length=10, cache_len=128, interpret=True,
+            top_k=np.array([5, 0, 64], np.int32),
+            top_p=np.array([0.0, 0.9, 0.5], np.float32),
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(mixed))
+
+        # Single-sequence kernel: dynamic scalar thresholds, same invariance.
+        solo_plain = dk.megakernel_generate(
+            packed, prompt, seed=0, temperature=0.0,
+            config=config, length=10, cache_len=128, interpret=True,
+        )
+        solo_filt = dk.megakernel_generate(
+            packed, prompt, seed=0, temperature=np.zeros((1,), np.float32),
+            config=config, length=10, cache_len=128, interpret=True,
+            top_k=np.array([3], np.int32), top_p=np.array([0.7], np.float32),
+        )
+        np.testing.assert_array_equal(np.asarray(solo_plain), np.asarray(solo_filt))
+
+    def test_filtered_logits_per_row_thresholds(self, rng):
+        """_filtered_scaled_logits with per-row thresholds == stacking the
+        static-scalar version row by row (sentinels = pass-through)."""
+        x = self._rows(rng, n=4)
+        ks = [1.0, 513.0, 40.0, 5.0]  # 513 = Vpad+1 sentinel (off)
+        ps = [2.0, 0.5, 2.0, 0.9]  # 2.0 sentinel (off)
+        ours = np.asarray(
+            dk._filtered_scaled_logits(
+                x, [jnp.float32(k) for k in ks], [jnp.float32(p) for p in ps]
+            )
+        )
+        for i, (k, p) in enumerate(zip(ks, ps)):
+            row = np.asarray(
+                dk._filtered_scaled_logits(
+                    x[i : i + 1],
+                    k if k <= 512 else 0,
+                    p if p < 1 else 0,
+                )
+            )
+            np.testing.assert_array_equal(ours[i : i + 1], row, err_msg=f"row {i}")
+
     def test_engine_routes_filtered_requests_to_kernel(self, setup):
         """generate_ids no longer falls back to the XLA scan for top-k/top-p
         on the fused path: the engine pipeline receives the filter values."""
@@ -424,12 +481,16 @@ class TestInKernelSamplingFilters:
         engine = gen.TransformerDecoder(model, params, dtype=jnp.float32)
         seen = []
 
-        def fake_pipeline(params, packed, prompt, rng, seed, temperature,
-                          cache_len, length, top_k, top_p):
-            seen.append((top_k, top_p))
+        def fake_pipeline(params, packed, prompt, rng, seed, temps, topks,
+                          topps, cache_len, length, greedy, use_k, use_p):
+            seen.append((topks, topps, greedy, use_k, use_p))
             return jnp.zeros((prompt.shape[0], length), jnp.int32)
 
         engine._pipeline = fake_pipeline
         engine.generate(jnp.zeros((2, 4), jnp.int32), length=6,
                         temperature=0.8, top_k=12, top_p=0.95)
-        assert seen == [(12, 0.95)]
+        assert len(seen) == 1
+        topks, topps, greedy, use_k, use_p = seen[0]
+        assert topks.tolist() == [12, 12]
+        np.testing.assert_allclose(topps, 0.95)
+        assert (greedy, use_k, use_p) == (False, True, True)

@@ -114,6 +114,109 @@ def test_generate_ids_with_filters_runs_and_restricts():
     np.testing.assert_array_equal(np.asarray(greedy_a), np.asarray(greedy_b))
 
 
+class TestPerRowSampling:
+    """Per-row sampling params (serving coalesces mixed-setting requests).
+
+    The [B]-vector variants must be bit-identical to the scalar path when a
+    row's setting matches — same filtered values, same single categorical
+    rng consumption — so coalescing requests never changes what any one
+    request would have sampled at its own settings and seed.
+    """
+
+    def _logits(self, rows=6, vocab=50, seed=11):
+        return jax.random.normal(jax.random.PRNGKey(seed), (rows, vocab)) * 3.0
+
+    def test_uniform_rows_match_scalar_path_bitwise(self):
+        from composer_tpu.ops.sampling import sample_filtered_rows
+
+        logits = self._logits()
+        b = logits.shape[0]
+        rng = jax.random.PRNGKey(3)
+        for t, k, p in [(0.8, 0, 0.0), (1.3, 5, 0.0), (0.7, 0, 0.9),
+                        (2.0, 3, 0.5), (1.0, 0, 0.0)]:
+            scalar = sample_filtered(rng, logits, t, top_k=k, top_p=p)
+            rows = sample_filtered_rows(
+                rng, logits,
+                jnp.full((b,), t, jnp.float32),
+                jnp.full((b,), k, jnp.int32),
+                jnp.full((b,), p, jnp.float32),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(scalar), np.asarray(rows), err_msg=f"{(t, k, p)}"
+            )
+
+    def test_row_filters_match_per_row_scalar_filters(self):
+        from composer_tpu.ops.sampling import (
+            filter_top_k,
+            filter_top_k_rows,
+            filter_top_p,
+            filter_top_p_rows,
+        )
+
+        logits = self._logits(rows=5)
+        ks = [1, 3, 0, 50, 7]  # 0 disables
+        rowwise = np.stack([
+            np.asarray(filter_top_k(logits[i], k) if k > 0 else logits[i])
+            for i, k in enumerate(ks)
+        ])
+        np.testing.assert_array_equal(
+            np.asarray(filter_top_k_rows(logits, jnp.asarray(ks))), rowwise
+        )
+
+        ps = [0.2, 0.0, 0.95, 1.0, 0.5]  # 0 and 1 disable
+        rowwise = np.stack([
+            np.asarray(filter_top_p(logits[i], p) if 0 < p < 1 else logits[i])
+            for i, p in enumerate(ps)
+        ])
+        np.testing.assert_array_equal(
+            np.asarray(filter_top_p_rows(logits, jnp.asarray(ps))), rowwise
+        )
+
+    def test_greedy_rows_inside_sampled_batch(self):
+        from composer_tpu.ops.sampling import sample_filtered_rows
+
+        logits = self._logits(rows=4)
+        out = sample_filtered_rows(
+            jax.random.PRNGKey(9), logits,
+            jnp.asarray([0.0, 1.5, -1.0, 0.9], jnp.float32),
+            jnp.zeros((4,), jnp.int32),
+            jnp.zeros((4,), jnp.float32),
+        )
+        argmax = np.argmax(np.asarray(logits), axis=-1)
+        assert np.asarray(out)[0] == argmax[0]
+        assert np.asarray(out)[2] == argmax[2]
+
+    def test_heterogeneous_generate_ids_greedy_row_parity(self):
+        """A greedy row inside a mixed-temperature XLA-scan batch produces
+        exactly the tokens a standalone greedy call produces (rows are
+        independent; per-row params don't leak across rows)."""
+        from composer_tpu.models import ModelType
+        from composer_tpu.models.transformer import Transformer, TransformerConfig
+        from composer_tpu.train.generate import generate_ids
+
+        config = TransformerConfig(
+            vocab_size=60, embed_dim=16, window_size=32, num_layers=1,
+            num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+            band_block_size=0,
+        )
+        model = Transformer(config)
+        params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+        prompts = np.asarray([[1, 2, 3], [4, 5, 6]], dtype=np.int32)
+
+        mixed = generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts, length=10,
+            temperature=np.asarray([0.0, 1.2], np.float32), seed=0,
+            top_k=np.asarray([0, 4], np.int32),
+            top_p=np.asarray([0.0, 0.9], np.float32), engine="xla",
+        )
+        solo = generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts[:1], length=10,
+            temperature=0.0, seed=0, engine="xla",
+        )
+        np.testing.assert_array_equal(np.asarray(mixed[0]), np.asarray(solo[0]))
+        assert ((np.asarray(mixed[1]) >= 0) & (np.asarray(mixed[1]) < 60)).all()
+
+
 def test_top_p_nucleus_taken_over_tempered_distribution():
     """Temperature applies before top-p: the nucleus is the p-mass prefix of
     the distribution actually sampled. At T=2 the flattened distribution's

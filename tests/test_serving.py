@@ -166,3 +166,42 @@ def test_incompatible_signatures_both_complete(server):
         t.join()
     assert results[0][0] == 200 and len(results[0][1]["events"]) == 5
     assert results[1][0] == 200 and len(results[1][1]["events"]) == 7
+
+
+def test_mixed_sampling_settings_coalesce(server):
+    """Requests differing ONLY in sampling params (and in length within one
+    power-of-two bucket) share a batch: the params ride the kernels as
+    per-row vectors. A greedy request inside the mixed batch returns exactly
+    what a standalone greedy call returns."""
+    http_server, service = server
+    # Warm the (prompt_len=2, bucket=4) program.
+    _post(http_server, {"events": [5, 6], "length": 4})
+    baseline = _post(
+        http_server, {"events": [5, 6], "length": 4, "temperature": 0.0}
+    )[1]["events"]
+
+    before = len(service.batch_sizes)
+    payloads = [
+        {"events": [5, 6], "length": 4, "temperature": 0.0},
+        {"events": [5, 6], "length": 4, "temperature": 1.3, "top_k": 7},
+        {"events": [5, 6], "length": 3, "temperature": 0.8, "top_p": 0.9},
+    ]
+    results = [None] * len(payloads)
+
+    def call(i):
+        results[i] = _post(http_server, payloads[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(status == 200 for status, _ in results)
+    new_batches = service.batch_sizes[before:]
+    assert sum(new_batches) == 3
+    assert max(new_batches) >= 2  # mixed settings coalesced
+    # The greedy row is unchanged by riding in a mixed batch.
+    assert results[0][1]["events"] == baseline
+    # The length-3 request got its own length back (bucket decoded 4).
+    assert len(results[2][1]["events"]) == 5  # 2 prompt + 3 generated
