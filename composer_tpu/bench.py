@@ -288,6 +288,7 @@ def run_serving_benchmark(
     max_batch_size: int = 8,
     dtype=None,
     seed: int = 0,
+    mixed_sampling: bool = False,
 ):
     """Coalesced serving throughput (the `composer serve` data plane).
 
@@ -297,6 +298,12 @@ def run_serving_benchmark(
     Measures aggregate generated events/sec across the burst — the number a
     serving deployment actually sees, including queueing, padding waste,
     and sequential dispatch of the coalesced batches.
+
+    ``mixed_sampling`` gives every client its own temperature/top-k/top-p
+    (including one greedy client per 8): realistic heterogeneous traffic
+    that only coalesces because sampling params are per-row kernel
+    operands — with per-setting compiled programs it would decay to
+    singleton batches and a recompile per distinct setting.
     """
     import threading
 
@@ -314,12 +321,26 @@ def run_serving_benchmark(
     )
     rng = np.random.default_rng(seed)
     prompts = rng.integers(0, 390, (concurrency, prompt_length)).astype(np.int32)
+    if mixed_sampling:
+        sampling = [
+            {
+                "temperature": 0.0 if index % 8 == 7
+                else round(0.7 + 0.05 * (index % 8), 2),
+                "top_k": int(5 + index % 13) if index % 3 == 0 else 0,
+                "top_p": round(0.85 + 0.01 * (index % 10), 2)
+                if index % 3 == 1 else 0.0,
+            }
+            for index in range(concurrency)
+        ]
+    else:
+        sampling = [{} for _ in range(concurrency)]
 
     def burst():
         threads = []
         for index in range(concurrency):
             thread = threading.Thread(
-                target=service.submit, args=(prompts[index], length)
+                target=service.submit, args=(prompts[index], length),
+                kwargs=sampling[index],
             )
             thread.start()
             threads.append(thread)
@@ -349,6 +370,7 @@ def run_serving_benchmark(
             "concurrency": concurrency, "length": length,
             "max_batch_size": max_batch_size, "seconds": round(elapsed, 3),
             "coalesced_batches": timed_batches,
+            "mixed_sampling": mixed_sampling,
             "backend": jax.default_backend(),
         },
     }
@@ -549,6 +571,15 @@ def run_all(write_markdown=True):
         (
             "serving (32 concurrent clients, coalesced batches of 8)",
             run_serving_benchmark,
+        ),
+        (
+            # Every client brings its own temperature/top-k/top-p (greedy
+            # included): coalescing survives because sampling params are
+            # per-row kernel operands; with per-setting programs this
+            # workload decays to singleton batches + a recompile per
+            # distinct setting.
+            "serving, heterogeneous sampling (32 clients, mixed temp/top-k/top-p)",
+            lambda: run_serving_benchmark(mixed_sampling=True),
         ),
         ("preprocess (MIDI -> .data, full augmentation)", run_preprocess_benchmark),
         (
