@@ -451,12 +451,20 @@ def run_train_benchmark(
     attention_chunk_size: int = 0,
     remat: bool = False,
     dropout_rate: float = 0.0,
+    embed_dim: int = 256,
+    num_heads: int = 16,
+    num_layers: int = 8,
+    use_pallas_attention: bool = False,
 ):
     """Training step time for the relative-attention config (BASELINE.md row 5).
 
     ``attention_chunk_size``/``remat`` select the long-context recipe: q-chunked
     attention (O(S*chunk) live scores) + rematerialized blocks, which fits
     batch 32 x 2048 ctx in the 15.75 GB HBM where the exact band path OOMs.
+
+    ``embed_dim``/``num_heads``/``num_layers``/``use_pallas_attention`` scale
+    past the reference architecture (head_dim 16): at head_dim >= 64 the
+    Pallas flash path's in-kernel relative bias becomes MXU-efficient.
     """
     from composer_tpu.models import ModelType
     from composer_tpu.models.transformer import Transformer, TransformerConfig
@@ -468,10 +476,12 @@ def run_train_benchmark(
     # Measured on v5e-1: batch 8 w/o remat is ~1.7x faster than remat configs
     # and fits HBM; remat=True extends to batch 16+.
     config = TransformerConfig(
-        vocab_size=390, embed_dim=256, window_size=window_size,
-        num_layers=8, num_heads=16, use_relative_attention=use_relative_attention,
+        vocab_size=390, embed_dim=embed_dim, window_size=window_size,
+        num_layers=num_layers, num_heads=num_heads,
+        use_relative_attention=use_relative_attention,
         attention_dropout_rate=dropout_rate, residual_dropout_rate=dropout_rate,
         dtype=dtype, attention_chunk_size=attention_chunk_size, remat=remat,
+        use_pallas_attention=use_pallas_attention,
     )
     trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-3, seed=seed)
     state = trainer.init_state(batch_size, window_size)
@@ -502,6 +512,11 @@ def run_train_benchmark(
             "batch_size": batch_size,
             "window_size": window_size,
             "dropout_rate": dropout_rate,
+            "embed_dim": embed_dim,
+            "num_heads": num_heads,
+            "attention": "pallas-flash" if use_pallas_attention else (
+                "chunked" if attention_chunk_size else "band"
+            ),
             "tokens_per_sec": round(tokens_per_sec, 1),
             "backend": jax.default_backend(),
         },

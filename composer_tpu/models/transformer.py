@@ -189,7 +189,10 @@ class SelfAttention(nn.Module):
                 mask=mask,
                 dropout_rng=dropout_rng,
                 dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
-                use_pallas=config.use_pallas_attention and deterministic,
+                # Flash is differentiable (fused Pallas backward) but has no
+                # in-kernel dropout: trainable whenever attention dropout is
+                # inactive, else the band/XLA path applies the mask.
+                use_pallas=config.use_pallas_attention and dropout_rng is None,
                 band_block_size=config.band_block_size,
             )
 

@@ -67,15 +67,21 @@ _LANESTACK = os.environ.get("COMPOSER_DECODE_LANESTACK", "0") == "1"
 # kernel is NOT staged: there the attention share is small and staging
 # measured ~2x slower tail steps (41k vs 77k marginal).
 _MAX_STAGES = int(os.environ.get("COMPOSER_DECODE_STAGES", "8"))
+# Segment-size alignment. 128 = one lane tile of the scores matmul; finer
+# alignments (min 16 = one bf16 sublane tile of the AV contraction) allow
+# deeper staging but only shrink the AV matmul's contraction rows — the
+# scores/softmax lanes pad back to 128 regardless.
+_STAGE_ALIGN = max(16, int(os.environ.get("COMPOSER_DECODE_STAGE_ALIGN", "128")))
 
 
 def _decode_stages(cache_len: int, num_steps: int):
     """Static (start_step, end_step, live_rows) segments for a growing cache.
 
-    128-aligned, at most _MAX_STAGES segments (each segment re-traces the
-    unrolled layer loop, so Mosaic compile time scales with the count).
+    _STAGE_ALIGN-aligned, at most _MAX_STAGES segments (each segment
+    re-traces the unrolled layer loop, so Mosaic compile time scales with
+    the count).
     """
-    step_rows = _round_up(-(-cache_len // _MAX_STAGES), 128)
+    step_rows = _round_up(-(-cache_len // _MAX_STAGES), _STAGE_ALIGN)
     stages = []
     start, live = 0, step_rows
     while start < num_steps:

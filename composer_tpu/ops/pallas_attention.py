@@ -23,11 +23,32 @@ Index algebra (B = block, W = window, base = (ib - jb) * B):
   chunk start (in E padded with B trailing zero rows): W - B - base
   chunk column m holds distance base + B - 1 - m, so (i, j) -> m = B-1-i+j
   after shearing row i right by i:          column B-1+j  -> static slice.
+
+Training support (custom_vjp). The forward additionally emits the per-row
+log-sum-exp; the backward is the FlashAttention-2 two-kernel split:
+
+* kernel 1, grid (heads, batch, q-block): recomputes each (i, j) tile's
+  probabilities from the stored lse, forms ``ds = p * (dp - delta)`` and
+  accumulates dQ — plus the relative-embedding gradient, which is the
+  *inverse* shear (roll row i LEFT by i) of ``ds`` placed back in band
+  layout, contracted against Q.  dE revisits one (window+B, D) VMEM block
+  per head across the whole (batch, q-block) subgrid — TPU grids execute
+  sequentially, so in-place accumulation is race-free.
+* kernel 2, grid (batch*heads, k-block): the same recompute accumulating
+  dK (``dsᵀ @ Q``) and dV (``pᵀ @ dO``) per key block.
+
+Per-row scalars (lse, delta = rowsum(dO * O)) are stored as (B*H, 8, S)
+f32 arrays (row 0 live, 8-sublane padded to a legal block tile).  Mosaic has no native lane<->sublane
+relayout for these, so the kernels convert with a diagonal-select trick:
+``col = rowsum(where(iota_r == iota_c, broadcast(row), 0))`` (and its
+transpose for the forward's lse write) — a (B, B) select + reduction, all
+Mosaic-native, negligible next to the tile matmuls.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 128
 NEG_INF = -1e30
+# Per-row scalar arrays (lse, delta) are stored as (bh, _SUBLANES, S): row 0
+# holds the data; the sublane padding satisfies Mosaic's (8, 128) block-tile
+# minimum for f32 blocks.
+_SUBLANES = 8
 
 
 def _shear_rows_right(matrix, block: int):
@@ -51,8 +76,84 @@ def _shear_rows_right(matrix, block: int):
     return matrix
 
 
+def _shear_rows_left(matrix, block: int):
+    """Rolls row i of ``matrix`` LEFT by i — the inverse of _shear_rows_right."""
+    rows = matrix.shape[0]
+    width = matrix.shape[1]
+    row_index = jax.lax.broadcasted_iota(jnp.int32, matrix.shape, 0)
+    shift = 1
+    while shift < rows:
+        # roll right by (width - s) == roll left by s
+        rolled = pltpu.roll(matrix, width - shift, axis=1)
+        take_rolled = (row_index & shift) != 0
+        matrix = jnp.where(take_rolled, rolled, matrix)
+        shift *= 2
+    return matrix
+
+
+def _row_to_col(row):
+    """(1, B) lanes vector -> (B, 1) sublanes column, via diag select+reduce."""
+    size = row.shape[1]
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    spread = jnp.broadcast_to(row, (size, size))
+    return jnp.sum(
+        jnp.where(idx_r == idx_c, spread, 0.0), axis=1, keepdims=True
+    )
+
+
+def _col_to_row(col):
+    """(B, 1) sublanes column -> (1, B) lanes vector (inverse of _row_to_col)."""
+    size = col.shape[0]
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    spread = jnp.broadcast_to(col, (size, size))
+    return jnp.sum(
+        jnp.where(idx_r == idx_c, spread, 0.0), axis=0, keepdims=True
+    )
+
+
+def _tile_scores(q, k_tile, e_ref, ib, jb, *, block, window, scale, use_rel):
+    """Scaled, causally-masked score tile (block, block) in f32.
+
+    Shared by the forward and both backward kernels so the backward's
+    recomputed probabilities match the forward bit-for-bit.  Returns
+    ``(scores, e_chunk, start)`` — the chunk/start are reused by the
+    backward's band gradient (None/0 when ``use_rel`` is off).
+    """
+    scores = jax.lax.dot_general(
+        q, k_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, B)
+
+    e_chunk = None
+    start = 0
+    if use_rel:
+        # base = (ib - jb) * B; chunk start = W - B - base.
+        start = window - block - (ib - jb) * block
+        e_chunk = e_ref[pl.ds(start, 2 * block), :]  # (2B, D)
+        band = jax.lax.dot_general(
+            q, e_chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, 2B)
+        band = _shear_rows_right(band, block)
+        scores = scores + band[:, block - 1 : 2 * block - 1]
+
+    scores = scores * scale
+
+    # Causal mask inside the diagonal block (off-diagonal blocks are fully
+    # valid by construction of the loop bounds).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    masked = jnp.where(rows >= cols, scores, NEG_INF)
+    scores = jnp.where(jb == ib, masked, scores)
+    return scores, e_chunk, start
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, e_ref, o_ref,
+    q_ref, k_ref, v_ref, e_ref, o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, block: int, seq_len: int, window: int, scale: float, use_rel: bool,
 ):
@@ -69,33 +170,10 @@ def _flash_kernel(
         k_tile = k_ref[pl.ds(jb * block, block), :]  # (B, D)
         v_tile = v_ref[pl.ds(jb * block, block), :]
 
-        scores = jax.lax.dot_general(
-            q, k_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, B)
-
-        if use_rel:
-            # base = (ib - jb) * B; chunk start = W - B - base.
-            start = window - block - (ib - jb) * block
-            e_chunk = e_ref[pl.ds(start, 2 * block), :]  # (2B, D)
-            band = jax.lax.dot_general(
-                q, e_chunk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (B, 2B)
-            band = _shear_rows_right(band, block)
-            scores = scores + band[:, block - 1 : 2 * block - 1]
-
-        scores = scores * scale
-
-        # Causal mask inside the diagonal block (off-diagonal blocks in the
-        # loop are fully valid).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-        is_diagonal = jb == ib
-        masked = jnp.where(rows >= cols, scores, NEG_INF)
-        scores = jnp.where(is_diagonal, masked, scores)
+        scores, _, _ = _tile_scores(
+            q, k_tile, e_ref, ib, jb,
+            block=block, window=window, scale=scale, use_rel=use_rel,
+        )
 
         # Online softmax update.
         m_prev = m_ref[:]
@@ -115,17 +193,328 @@ def _flash_kernel(
 
     jax.lax.fori_loop(0, num_k_blocks, body, 0)
     o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+    lse_ref[:] = jnp.broadcast_to(
+        _col_to_row(m_ref[:] + jnp.log(l_ref[:])), lse_ref.shape
+    )
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, de_ref,
+    dq_acc,
+    *, block: int, window: int, scale: float, use_rel: bool,
+):
+    b = pl.program_id(1)
+    ib = pl.program_id(2)
+
+    @pl.when((b == 0) & (ib == 0))
+    def _zero_de():
+        de_ref[:] = jnp.zeros_like(de_ref)
+
+    q = q_ref[:]        # (B, D)
+    do = do_ref[:]      # (B, D)
+    lse = _row_to_col(lse_ref[0:1, :])      # (B, 1) f32
+    delta = _row_to_col(delta_ref[0:1, :])  # (B, 1) f32
+
+    dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    def body(jb, _):
+        k_tile = k_ref[pl.ds(jb * block, block), :]
+        v_tile = v_ref[pl.ds(jb * block, block), :]
+
+        scores, e_chunk, start = _tile_scores(
+            q, k_tile, e_ref, ib, jb,
+            block=block, window=window, scale=scale, use_rel=use_rel,
+        )
+        p = jnp.exp(scores - lse)  # normalized probabilities (B, B) f32
+
+        dp = jax.lax.dot_general(
+            do, v_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, B)
+        ds = p * (dp - delta)  # grad wrt scaled scores, f32
+
+        dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+            ds.astype(k_tile.dtype), k_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        if use_rel:
+            # Put ds back in band layout: column B-1+j holds ds[:, j], then
+            # roll row i left by i -> dband[i, m] with m = B-1-i+j.
+            # (Mosaic's dynamic_rotate is 32-bit only: shear in f32.)
+            ds_band = jnp.pad(ds, ((0, 0), (block - 1, 1)))
+            dband = _shear_rows_left(ds_band, block)  # (B, 2B) f32
+            dband = dband.astype(k_tile.dtype)
+            dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+                dband, e_chunk.astype(dband.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            de_ref[pl.ds(start, 2 * block), :] = (
+                de_ref[pl.ds(start, 2 * block), :]
+                + scale * jax.lax.dot_general(
+                    dband, q,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return 0
+
+    jax.lax.fori_loop(0, ib + 1, body, 0)
+    dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, block: int, num_blocks: int, window: int, scale: float, use_rel: bool,
+):
+    jb = pl.program_id(1)
+
+    k_tile = k_ref[:]  # (B, D)
+    v_tile = v_ref[:]
+
+    dk_acc[:] = jnp.zeros_like(dk_acc)
+    dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def body(ib, _):
+        q_tile = q_ref[pl.ds(ib * block, block), :]
+        do_tile = do_ref[pl.ds(ib * block, block), :]
+        lse = _row_to_col(lse_ref[0:1, pl.ds(ib * block, block)])     # (B, 1)
+        delta = _row_to_col(delta_ref[0:1, pl.ds(ib * block, block)])
+
+        scores, _, _ = _tile_scores(
+            q_tile, k_tile, e_ref, ib, jb,
+            block=block, window=window, scale=scale, use_rel=use_rel,
+        )
+        p = jnp.exp(scores - lse)  # (Bi, Bj) f32
+
+        dp = jax.lax.dot_general(
+            do_tile, v_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta)).astype(q_tile.dtype)  # no shear here: cast ok
+
+        # dV_j += p^T @ dO_i ; dK_j += scale * ds^T @ q_i  (contract over i).
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do_tile.dtype), do_tile,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+            ds, q_tile,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(jb, num_blocks, body, 0)
+    dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+    dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+class _Statics(NamedTuple):
+    block: int
+    window: int  # e_padded rows minus block (true window incl. host padding)
+    scale: float
+    use_rel: bool
+    heads: int
+    interpret: bool  # run the Pallas TPU interpreter (CPU backends/tests)
+
+
+def _forward_call(statics: _Statics, q, k, v, e_padded):
+    block, window, scale, use_rel, heads, interpret = statics
+    bh, seq_len, depth = q.shape
+    num_q_blocks = seq_len // block
+
+    kernel = functools.partial(
+        _flash_kernel,
+        block=block, seq_len=seq_len, window=window, scale=scale,
+        use_rel=use_rel,
+    )
+
+    def squeeze_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, lse_ref, acc, m, l):
+        kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0],
+            o_ref.at[0], lse_ref.at[0], acc, m, l,
+        )
+
+    out, lse = pl.pallas_call(
+        squeeze_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, seq_len, depth), q.dtype),
+            jax.ShapeDtypeStruct((bh, _SUBLANES, seq_len), jnp.float32),
+        ],
+        grid=(bh, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, depth), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, window + block, depth),
+                lambda b, i, heads_=heads: (b % heads_, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, depth), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, block), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, depth), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, e_padded)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(statics: _Statics, q, k, v, e_padded):
+    out, _ = _forward_call(statics, q, k, v, e_padded)
+    return out
+
+
+def _flash_fwd_rule(statics, q, k, v, e_padded):
+    out, lse = _forward_call(statics, q, k, v, e_padded)
+    return out, (q, k, v, e_padded, out, lse)
+
+
+def _flash_bwd_rule(statics: _Statics, residuals, dout):
+    block, window, scale, use_rel, heads, interpret = statics
+    q, k, v, e_padded, out, lse = residuals
+    bh, seq_len, depth = q.shape
+    batch = bh // heads
+    num_blocks = seq_len // block
+    e_rows = window + block
+
+    delta = jnp.sum(
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (bh, S)
+    # Sublane-pad per-row scalars to legal (>=8, 128)-tile blocks.
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, _SUBLANES, seq_len))
+
+    # --- Kernel 1: dQ (+ dE). Grid (heads, batch, q-block) so the dE block's
+    # index map depends only on the outermost axis: the (window+B, D)
+    # accumulator stays resident in VMEM across the whole per-head subgrid.
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel,
+        block=block, window=window, scale=scale, use_rel=use_rel,
+    )
+
+    def dq_squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, de_ref, dq_acc):
+        dq_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], do_ref.at[0],
+            lse_ref.at[0], delta_ref.at[0], dq_ref.at[0], de_ref.at[0], dq_acc,
+        )
+
+    def _bh(h, b, i):
+        del i
+        return b * heads + h
+
+    dq, de = pl.pallas_call(
+        dq_squeeze,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, seq_len, depth), q.dtype),
+            jax.ShapeDtypeStruct((heads, e_rows, depth), jnp.float32),
+        ],
+        grid=(heads, batch, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda h, b, i: (_bh(h, b, i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda h, b, i: (_bh(h, b, i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_rows, depth), lambda h, b, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, block), lambda h, b, i: (_bh(h, b, i), 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, block), lambda h, b, i: (_bh(h, b, i), 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_rows, depth), lambda h, b, i: (h, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, depth), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, e_padded, dout, lse, delta)
+
+    # --- Kernel 2: dK + dV per key block.
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel,
+        block=block, num_blocks=num_blocks, window=window, scale=scale,
+        use_rel=use_rel,
+    )
+
+    def dkv_squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc):
+        dkv_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], do_ref.at[0],
+            lse_ref.at[0], delta_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            dk_acc, dv_acc,
+        )
+
+    dk, dv = pl.pallas_call(
+        dkv_squeeze,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, seq_len, depth), k.dtype),
+            jax.ShapeDtypeStruct((bh, seq_len, depth), v.dtype),
+        ],
+        grid=(bh, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, seq_len, depth), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, e_rows, depth),
+                lambda b, j, heads_=heads: (b % heads_, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, seq_len, depth), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, seq_len), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, seq_len), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, depth), jnp.float32),
+            pltpu.VMEM((block, depth), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, e_padded, dout, lse, delta)
+
+    de = de.astype(e_padded.dtype)
+    return dq, dk, dv, de
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def relative_flash_attention(
     q, k, v, rel_embedding=None, *, scale: bool = True, block: int = DEFAULT_BLOCK,
+    interpret: bool | None = None,
 ):
     """Causal flash attention. q, k, v: [batch, heads, S, D].
 
     ``rel_embedding``: [heads, window, D] in skew layout (E[h, window-1-d]
     holds distance d), or None for plain causal attention. Requires S to be a
     multiple of ``block`` and, with relative bias, S <= window.
+
+    Differentiable: gradients flow to q/k/v and the relative embedding via a
+    fused Pallas backward (see module docstring).
+
+    ``interpret`` runs the Pallas interpreter instead of Mosaic; the default
+    (None) auto-enables it on CPU backends so host-only runs and tests just
+    work (any non-cpu backend gets the compiled kernel).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     batch, heads, seq_len, depth = q.shape
     if seq_len % block != 0:
         raise ValueError(f"sequence length {seq_len} not a multiple of {block}")
@@ -163,48 +552,13 @@ def relative_flash_attention(
     k_flat = k.reshape(bh, seq_len, depth)
     v_flat = v.reshape(bh, seq_len, depth)
 
-    num_q_blocks = seq_len // block
-    kernel = functools.partial(
-        _flash_kernel,
+    statics = _Statics(
         block=block,
-        seq_len=seq_len,
         window=e_padded.shape[1] - block,
         scale=softmax_scale,
         use_rel=use_rel,
+        heads=heads,
+        interpret=interpret,
     )
-
-    grid = (bh, num_q_blocks)
-    in_specs = [
-            pl.BlockSpec((1, block, depth), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, e_padded.shape[1], depth),
-                lambda b, i, heads_=heads: (b % heads_, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-    ]
-    out_specs = pl.BlockSpec(
-        (1, block, depth), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-    )
-
-    def squeeze_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, acc, m, l):
-        kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], o_ref.at[0],
-            acc, m, l,
-        )
-
-    out = pl.pallas_call(
-        squeeze_kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, seq_len, depth), q.dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((block, depth), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
-        ],
-    )(q_flat, k_flat, v_flat, e_padded)
-
+    out = _flash(statics, q_flat, k_flat, v_flat, e_padded)
     return out.reshape(batch, heads, seq_len, depth)[..., :true_depth]

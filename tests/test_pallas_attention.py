@@ -34,6 +34,78 @@ def test_flash_attention_matches_xla(use_rel):
     )
 
 
+@pytest.mark.parametrize("use_rel", [False, True])
+@pytest.mark.parametrize("depth", [16, 64])
+def test_flash_attention_grads_match_xla(use_rel, depth):
+    """The custom_vjp backward (fused Pallas dQ/dK/dV/dE kernels) must match
+    XLA autodiff through the reference attention path."""
+    B, H, S, W = 1, 2, 256, 512
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    q = jax.random.normal(keys[0], (B, H, S, depth), jnp.float32)
+    k = jax.random.normal(keys[1], (B, H, S, depth), jnp.float32)
+    v = jax.random.normal(keys[2], (B, H, S, depth), jnp.float32)
+    E = jax.random.normal(keys[3], (H, W, depth), jnp.float32) if use_rel else None
+    cot = jax.random.normal(keys[4], (B, H, S, depth), jnp.float32)
+
+    def loss_ref(q, k, v, E):
+        out = attention_ops.multihead_attention(q, k, v, rel_embedding=E, scale=True)
+        return jnp.sum(out * cot)
+
+    def loss_flash(q, k, v, E):
+        out = relative_flash_attention(q, k, v, E, scale=True)
+        return jnp.sum(out * cot)
+
+    argnums = (0, 1, 2, 3) if use_rel else (0, 1, 2)
+    grads_ref = jax.grad(loss_ref, argnums)(q, k, v, E)
+    with pltpu.force_tpu_interpret_mode():
+        grads_flash = jax.grad(loss_flash, argnums)(q, k, v, E)
+
+    names = ["dq", "dk", "dv", "dE"]
+    for name, g_ref, g_flash in zip(names, grads_ref, grads_flash):
+        np.testing.assert_allclose(
+            np.asarray(g_flash), np.asarray(g_ref), rtol=5e-4, atol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_transformer_trains_through_flash_attention():
+    """use_pallas_attention must be differentiable end-to-end (the gate in
+    transformer.py routes training through flash when dropout is inactive)."""
+    from composer_tpu.models.transformer import Transformer, TransformerConfig
+
+    config = TransformerConfig(
+        vocab_size=64, embed_dim=32, window_size=128, num_layers=1,
+        num_heads=2, use_relative_attention=True, use_pallas_attention=True,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    model = Transformer(config)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 128), 0, 64)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 64)
+
+    with pltpu.force_tpu_interpret_mode():
+        params = model.init(jax.random.PRNGKey(2), tokens, deterministic=True)
+
+        def loss_fn(params):
+            logits, _ = model.apply(params, tokens, deterministic=False)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[..., None], axis=-1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # The relative embedding must receive gradient through the fused backward.
+    rel_grads = [
+        np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads)
+        if "rel_embedding" in jax.tree_util.keystr(path)
+    ]
+    assert rel_grads and any(np.abs(g).max() > 0 for g in rel_grads)
+
+
 def test_flash_attention_rejects_unaligned_seq():
     q = jnp.zeros((1, 1, 100, 16))
     with pytest.raises(ValueError):
