@@ -623,6 +623,24 @@ def run_all(write_markdown=True):
             ),
         ),
         (
+            # Beyond the reference architecture: head_dim 64 keeps the
+            # in-kernel rel-bias matmuls MXU-shaped. Band (shear-free XLA)
+            # vs Pallas flash measured head-to-head; band wins on speed at
+            # every measured shape, flash trains without remat where the
+            # exact band path OOMs (see TODO.md round-2 notes).
+            "train step (scaled arch: embed 1024, head_dim 64, 2048 ctx)",
+            lambda: run_train_benchmark(
+                batch_size=8, window_size=2048, embed_dim=1024,
+            ),
+        ),
+        (
+            "train step (scaled arch, Pallas flash fwd+bwd)",
+            lambda: run_train_benchmark(
+                batch_size=8, window_size=2048, embed_dim=1024,
+                use_pallas_attention=True,
+            ),
+        ),
+        (
             "LSTM baseline train step (batch 64 x 200)",
             run_rnn_train_benchmark,
         ),
@@ -642,7 +660,11 @@ def run_all(write_markdown=True):
             f"Measured {datetime.datetime.now():%Y-%m-%d %H:%M} on "
             f"`{jax.default_backend()}` ({jax.devices()[0].device_kind}). "
             "The reference publishes no numbers (BASELINE.md); the north-star "
-            "target is 50k decode events/sec/chip.",
+            "target is 50k decode events/sec/chip. Wall-clock decode rows "
+            "include this environment's remote-tunnel dispatch RTT, which "
+            "drifts ±20 ms between sessions; the length-differenced "
+            "`on_device_events_per_sec_marginal` details are the stable "
+            "chip-side rates.",
             "",
             "| Workload | Metric | Value | vs 50k north star | Detail |",
             "|---|---|---|---|---|",

@@ -97,6 +97,24 @@ class Trainer:
         gradient_clip_norm: float = 0.0,
         dropout_rng_impl: Optional[str] = None,
     ):
+        if (
+            mesh is not None
+            and getattr(mesh, "size", 1) > 1
+            and getattr(getattr(model, "config", None), "use_pallas_attention", False)
+        ):
+            # pallas_call is opaque to GSPMD (and the interpreter's
+            # io_callbacks cannot be partitioned at all): under a multi-device
+            # mesh, route attention through the band path — which is also the
+            # faster train path at every measured shape (docs/band-attention.md).
+            import dataclasses
+
+            logging.warning(
+                "use_pallas_attention is single-device; multi-device mesh "
+                "detected — training through the band attention path instead."
+            )
+            model = type(model)(
+                dataclasses.replace(model.config, use_pallas_attention=False)
+            )
         self.model = model
         self.model_type = model_type
         self.optimizer = make_optimizer(

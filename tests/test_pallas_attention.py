@@ -106,6 +106,39 @@ def test_transformer_trains_through_flash_attention():
     assert rel_grads and any(np.abs(g).max() > 0 for g in rel_grads)
 
 
+def test_flash_train_trajectory_matches_band():
+    """Multi-step Adam training through flash must track the band path: this
+    exercises dE accumulation across batches/blocks and the optimizer
+    coupling, which a single-point grad check can miss."""
+    from composer_tpu.models import ModelType
+    from composer_tpu.models.transformer import Transformer, TransformerConfig
+    from composer_tpu.train.trainer import Trainer
+
+    def run(use_pallas):
+        config = TransformerConfig(
+            vocab_size=64, embed_dim=32, window_size=128, num_layers=2,
+            num_heads=2, use_relative_attention=True,
+            use_pallas_attention=use_pallas,
+            attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        )
+        trainer = Trainer(Transformer(config), ModelType.TRANSFORMER, 1e-3, seed=7)
+        state = trainer.init_state(2, 128)
+        step_rng = trainer.make_dropout_rng()
+        rng = np.random.default_rng(7)
+        losses = []
+        for _ in range(5):
+            x = jnp.asarray(rng.integers(0, 64, (2, 128)), jnp.int32)
+            y = jnp.asarray(rng.integers(0, 64, (2, 128)), jnp.int32)
+            state, metrics, _ = trainer.train_step(state, x, y, step_rng, None)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    band = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        flash = run(True)
+    np.testing.assert_allclose(flash, band, rtol=2e-4, atol=2e-4)
+
+
 def test_flash_attention_rejects_unaligned_seq():
     q = jnp.zeros((1, 1, 100, 16))
     with pytest.raises(ValueError):

@@ -175,6 +175,50 @@ def test_data_parallel_production_shape_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_falls_back_to_band_on_a_mesh():
+    """use_pallas_attention is single-device (pallas_call is opaque to
+    GSPMD; the interpreter's io_callbacks cannot be partitioned at all).
+    Under a multi-device mesh the Trainer must route through the band path
+    — same model numerics to attention-impl tolerance, no SPMD crash."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert jax.device_count() >= 8
+    window = 128
+    config = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=32, window_size=window, num_layers=1,
+        num_heads=2, use_relative_attention=True, use_pallas_attention=True,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    dataset = WindowDataset(
+        _toy_stream(2 * 8 * (window + 1)), batch_size=8, window_size=window,
+        shuffle=False,
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        single = Trainer(Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2)
+        state_s = single.init_state(8, window)
+        mesh = create_mesh(data=8, model=1)
+        parallel = Trainer(
+            Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
+        )
+        assert parallel.model.config.use_pallas_attention is False  # overridden
+        assert single.model.config.use_pallas_attention is True
+        state_p = parallel.init_state(8, window)
+
+        rng = jax.random.PRNGKey(0)
+        for x, y in dataset:
+            rng, step_rng = jax.random.split(rng)
+            state_s, metrics_s, _ = single.train_step(
+                state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
+            )
+            xp, yp = parallel._place_batch(x, y)
+            state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
+            # flash (single) vs band (mesh): equal to attention-impl tolerance.
+            np.testing.assert_allclose(
+                float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=3e-4, atol=3e-4
+            )
+
+
 def test_fused_evaluate_matches_per_batch_loop():
     """evaluate() scans batches in chunks (one dispatch per chunk instead of
     one per batch); the metrics and the threaded RNN carry must match the
