@@ -269,6 +269,29 @@ def run_rnn_decode_benchmark(length: int = 1024, batch_size: int = 8, repeats: i
         times.append(time.perf_counter() - start)
     best = min(times)
     events_per_sec = batch_size * length / best
+
+    # Length-differenced on-device marginal (profiler): the stable chip-side
+    # rate, immune to the remote tunnel's per-dispatch RTT drift.
+    marginal = None
+    if jax.default_backend() != "cpu":
+        short = length // 2
+
+        def short_call():
+            out = generate_ids(
+                model, ModelType.MUSIC_RNN, variables, prompt,
+                length=short, temperature=1.0, seed=seed,
+            )
+            return np.asarray(out)
+
+        short_call()
+        long_seconds = _device_seconds_per_call(call)
+        short_seconds = _device_seconds_per_call(short_call)
+        if long_seconds and short_seconds and long_seconds > short_seconds:
+            marginal = round(
+                batch_size * (length - short) / (long_seconds - short_seconds),
+                1,
+            )
+
     return {
         "metric": "rnn_decode_events_per_sec",
         "value": round(events_per_sec, 1),
@@ -277,6 +300,7 @@ def run_rnn_decode_benchmark(length: int = 1024, batch_size: int = 8, repeats: i
         "detail": {
             "length": length, "batch_size": batch_size,
             "seconds": round(best, 4), "backend": jax.default_backend(),
+            "on_device_events_per_sec_marginal": marginal,
         },
     }
 
@@ -637,6 +661,22 @@ def run_all(write_markdown=True):
             "train step (scaled arch, Pallas flash fwd+bwd)",
             lambda: run_train_benchmark(
                 batch_size=8, window_size=2048, embed_dim=1024,
+                use_pallas_attention=True,
+            ),
+        ),
+        (
+            # head_dim 128: flash's matmuls run unpadded and it BEATS band
+            # (measured v5e-1: 453 ms vs 510 ms) — the crossover point where
+            # the fused kernel overtakes the XLA band path.
+            "train step (embed 2048, head_dim 128, band)",
+            lambda: run_train_benchmark(
+                batch_size=4, window_size=2048, embed_dim=2048, steps=3,
+            ),
+        ),
+        (
+            "train step (embed 2048, head_dim 128, Pallas flash)",
+            lambda: run_train_benchmark(
+                batch_size=4, window_size=2048, embed_dim=2048, steps=3,
                 use_pallas_attention=True,
             ),
         ),
