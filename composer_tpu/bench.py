@@ -666,8 +666,8 @@ def run_all(write_markdown=True):
         ),
         (
             # head_dim 128: flash's matmuls run unpadded and it BEATS band
-            # (measured v5e-1: 453 ms vs 510 ms) — the crossover point where
-            # the fused kernel overtakes the XLA band path.
+            # (measured v5e-1: 370 ms vs 510 ms, merged one-pass backward)
+            # — past the crossover the fused kernel is the training path.
             "train step (embed 2048, head_dim 128, band)",
             lambda: run_train_benchmark(
                 batch_size=4, window_size=2048, embed_dim=2048, steps=3,

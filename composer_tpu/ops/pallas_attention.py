@@ -198,82 +198,32 @@ def _flash_kernel(
     )
 
 
-def _flash_bwd_dq_kernel(
+def _flash_bwd_kernel(
     q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, de_ref,
-    dq_acc,
-    *, block: int, window: int, scale: float, use_rel: bool,
-):
-    b = pl.program_id(1)
-    ib = pl.program_id(2)
-
-    @pl.when((b == 0) & (ib == 0))
-    def _zero_de():
-        de_ref[:] = jnp.zeros_like(de_ref)
-
-    q = q_ref[:]        # (B, D)
-    do = do_ref[:]      # (B, D)
-    lse = _row_to_col(lse_ref[0:1, :])      # (B, 1) f32
-    delta = _row_to_col(delta_ref[0:1, :])  # (B, 1) f32
-
-    dq_acc[:] = jnp.zeros_like(dq_acc)
-
-    def body(jb, _):
-        k_tile = k_ref[pl.ds(jb * block, block), :]
-        v_tile = v_ref[pl.ds(jb * block, block), :]
-
-        scores, e_chunk, start = _tile_scores(
-            q, k_tile, e_ref, ib, jb,
-            block=block, window=window, scale=scale, use_rel=use_rel,
-        )
-        p = jnp.exp(scores - lse)  # normalized probabilities (B, B) f32
-
-        dp = jax.lax.dot_general(
-            do, v_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, B)
-        ds = p * (dp - delta)  # grad wrt scaled scores, f32
-
-        dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
-            ds.astype(k_tile.dtype), k_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        if use_rel:
-            # Put ds back in band layout: column B-1+j holds ds[:, j], then
-            # roll row i left by i -> dband[i, m] with m = B-1-i+j.
-            # (Mosaic's dynamic_rotate is 32-bit only: shear in f32.)
-            ds_band = jnp.pad(ds, ((0, 0), (block - 1, 1)))
-            dband = _shear_rows_left(ds_band, block)  # (B, 2B) f32
-            dband = dband.astype(k_tile.dtype)
-            dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
-                dband, e_chunk.astype(dband.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            de_ref[pl.ds(start, 2 * block), :] = (
-                de_ref[pl.ds(start, 2 * block), :]
-                + scale * jax.lax.dot_general(
-                    dband, q,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        return 0
-
-    jax.lax.fori_loop(0, ib + 1, body, 0)
-    dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
-
-
-def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
+    dq_ref, de_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, block: int, num_blocks: int, window: int, scale: float, use_rel: bool,
 ):
-    jb = pl.program_id(1)
+    """Single-pass backward: one score/probability recompute per (i, j) tile
+    feeds dQ, dK, dV and dE together (the split dQ / dKdV variant recomputed
+    every tile twice — merged is ~1.2x faster at head_dim 128).
+
+    Grid (heads, batch, k-block).  dK/dV accumulate in scratch for the owned
+    key block; dQ accumulates into a revisited full-sequence f32 block (index
+    map constant along the k-block axis — TPU grids run sequentially, so the
+    read-modify-write rows are race-free), and dE into a revisited per-head
+    block exactly as before.
+    """
+    b = pl.program_id(1)
+    jb = pl.program_id(2)
+
+    @pl.when(jb == 0)
+    def _zero_dq():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
+    @pl.when((b == 0) & (jb == 0))
+    def _zero_de():
+        de_ref[:] = jnp.zeros_like(de_ref)
 
     k_tile = k_ref[:]  # (B, D)
     v_tile = v_ref[:]
@@ -287,18 +237,49 @@ def _flash_bwd_dkv_kernel(
         lse = _row_to_col(lse_ref[0:1, pl.ds(ib * block, block)])     # (B, 1)
         delta = _row_to_col(delta_ref[0:1, pl.ds(ib * block, block)])
 
-        scores, _, _ = _tile_scores(
+        scores, e_chunk, start = _tile_scores(
             q_tile, k_tile, e_ref, ib, jb,
             block=block, window=window, scale=scale, use_rel=use_rel,
         )
-        p = jnp.exp(scores - lse)  # (Bi, Bj) f32
+        p = jnp.exp(scores - lse)  # normalized probabilities (Bi, Bj) f32
 
         dp = jax.lax.dot_general(
             do_tile, v_tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+        )  # (Bi, Bj)
+        ds = p * (dp - delta)  # grad wrt scaled scores, f32
+        ds_c = ds.astype(k_tile.dtype)
+
+        dq_update = scale * jax.lax.dot_general(
+            ds_c, k_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bi, D) f32
+
+        if use_rel:
+            # Put ds back in band layout: column B-1+j holds ds[:, j], then
+            # roll row i left by i -> dband[i, m] with m = B-1-i+j.
+            # (Mosaic's dynamic_rotate is 32-bit only: shear in f32.)
+            ds_band = jnp.pad(ds, ((0, 0), (block - 1, 1)))
+            dband = _shear_rows_left(ds_band, block).astype(k_tile.dtype)
+            dq_update = dq_update + scale * jax.lax.dot_general(
+                dband, e_chunk.astype(dband.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            de_ref[pl.ds(start, 2 * block), :] = (
+                de_ref[pl.ds(start, 2 * block), :]
+                + scale * jax.lax.dot_general(
+                    dband, q_tile,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
+        dq_ref[pl.ds(ib * block, block), :] = (
+            dq_ref[pl.ds(ib * block, block), :] + dq_update
         )
-        ds = (p * (dp - delta)).astype(q_tile.dtype)  # no shear here: cast ok
 
         # dV_j += p^T @ dO_i ; dK_j += scale * ds^T @ q_i  (contract over i).
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
@@ -307,7 +288,7 @@ def _flash_bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
-            ds, q_tile,
+            ds_c, q_tile,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -400,87 +381,53 @@ def _flash_bwd_rule(statics: _Statics, residuals, dout):
     # Sublane-pad per-row scalars to legal (>=8, 128)-tile blocks.
     delta = jnp.broadcast_to(delta[:, None, :], (bh, _SUBLANES, seq_len))
 
-    # --- Kernel 1: dQ (+ dE). Grid (heads, batch, q-block) so the dE block's
-    # index map depends only on the outermost axis: the (window+B, D)
-    # accumulator stays resident in VMEM across the whole per-head subgrid.
-    dq_kernel = functools.partial(
-        _flash_bwd_dq_kernel,
-        block=block, window=window, scale=scale, use_rel=use_rel,
-    )
-
-    def dq_squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, de_ref, dq_acc):
-        dq_kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], do_ref.at[0],
-            lse_ref.at[0], delta_ref.at[0], dq_ref.at[0], de_ref.at[0], dq_acc,
-        )
-
-    def _bh(h, b, i):
-        del i
-        return b * heads + h
-
-    dq, de = pl.pallas_call(
-        dq_squeeze,
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, seq_len, depth), q.dtype),
-            jax.ShapeDtypeStruct((heads, e_rows, depth), jnp.float32),
-        ],
-        grid=(heads, batch, num_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, depth), lambda h, b, i: (_bh(h, b, i), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, depth), lambda h, b, i: (_bh(h, b, i), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_rows, depth), lambda h, b, i: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUBLANES, block), lambda h, b, i: (_bh(h, b, i), 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUBLANES, block), lambda h, b, i: (_bh(h, b, i), 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block, depth), lambda h, b, i: (_bh(h, b, i), i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e_rows, depth), lambda h, b, i: (h, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((block, depth), jnp.float32)],
-        interpret=interpret,
-    )(q, k, v, e_padded, dout, lse, delta)
-
-    # --- Kernel 2: dK + dV per key block.
-    dkv_kernel = functools.partial(
-        _flash_bwd_dkv_kernel,
+    # Single merged kernel. Grid (heads, batch, k-block): the dE block's
+    # index map depends only on the outermost axis (one per-head accumulator
+    # resident across the whole (batch, k-block) subgrid); the dQ block's
+    # index map is constant along the k-block axis (one per-(head, batch)
+    # f32 accumulator revisited across its key blocks).
+    kernel = functools.partial(
+        _flash_bwd_kernel,
         block=block, num_blocks=num_blocks, window=window, scale=scale,
         use_rel=use_rel,
     )
 
-    def dkv_squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc):
-        dkv_kernel(
+    def squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, de_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+        kernel(
             q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], do_ref.at[0],
-            lse_ref.at[0], delta_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            lse_ref.at[0], delta_ref.at[0],
+            dq_ref.at[0], de_ref.at[0], dk_ref.at[0], dv_ref.at[0],
             dk_acc, dv_acc,
         )
 
-    dk, dv = pl.pallas_call(
-        dkv_squeeze,
+    def _bh(h, b, j):
+        del j
+        return b * heads + h
+
+    dq, de, dk, dv = pl.pallas_call(
+        squeeze,
         out_shape=[
+            jax.ShapeDtypeStruct((bh, seq_len, depth), jnp.float32),
+            jax.ShapeDtypeStruct((heads, e_rows, depth), jnp.float32),
             jax.ShapeDtypeStruct((bh, seq_len, depth), k.dtype),
             jax.ShapeDtypeStruct((bh, seq_len, depth), v.dtype),
         ],
-        grid=(bh, num_blocks),
+        grid=(heads, batch, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, seq_len, depth), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, e_rows, depth),
-                lambda b, j, heads_=heads: (b % heads_, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, seq_len, depth), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUBLANES, seq_len), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUBLANES, seq_len), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_rows, depth), lambda h, b, j: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, seq_len), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANES, seq_len), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, depth), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, depth), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_rows, depth), lambda h, b, j: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((block, depth), jnp.float32),
@@ -489,6 +436,7 @@ def _flash_bwd_rule(statics: _Statics, residuals, dout):
         interpret=interpret,
     )(q, k, v, e_padded, dout, lse, delta)
 
+    dq = dq.astype(q.dtype)
     de = de.astype(e_padded.dtype)
     return dq, dk, dv, de
 
