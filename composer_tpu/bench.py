@@ -649,9 +649,10 @@ def run_all(write_markdown=True):
         (
             # Beyond the reference architecture: head_dim 64 keeps the
             # in-kernel rel-bias matmuls MXU-shaped. Band (shear-free XLA)
-            # vs Pallas flash measured head-to-head; band wins on speed at
-            # every measured shape, flash trains without remat where the
-            # exact band path OOMs (see TODO.md round-2 notes).
+            # vs Pallas flash measured head-to-head; with the merged
+            # one-pass backward + 256-edge tiles, flash WINS at every
+            # head_dim >= 64 shape (1.5-2.1x) and needs no remat at
+            # batch 32 (see docs/band-attention.md).
             "train step (scaled arch: embed 1024, head_dim 64, 2048 ctx)",
             lambda: run_train_benchmark(
                 batch_size=8, window_size=2048, embed_dim=1024,
@@ -665,9 +666,8 @@ def run_all(write_markdown=True):
             ),
         ),
         (
-            # head_dim 128: flash's matmuls run unpadded and it BEATS band
-            # (measured v5e-1: 370 ms vs 510 ms, merged one-pass backward)
-            # — past the crossover the fused kernel is the training path.
+            # head_dim 128: flash's matmuls run unpadded — measured v5e-1
+            # 246 ms vs band's 510 ms (merged backward + 256-edge tiles).
             "train step (embed 2048, head_dim 128, band)",
             lambda: run_train_benchmark(
                 batch_size=4, window_size=2048, embed_dim=2048, steps=3,

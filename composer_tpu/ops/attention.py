@@ -147,16 +147,17 @@ def multihead_attention(
             dropout_rate=dropout_rate,
         )
 
+    if use_pallas:
+        from composer_tpu.ops.pallas_attention import MIN_BLOCK, relative_flash_attention
+
     if (
         use_pallas
         and s_q == s_k
         and q_position is None
         and mask is None
         and dropout_rng is None
-        and s_q % 128 == 0
+        and s_q % MIN_BLOCK == 0
     ):
-        from composer_tpu.ops.pallas_attention import relative_flash_attention
-
         return relative_flash_attention(q, k, v, rel_embedding, scale=scale)
 
     w = jnp.einsum("bhqd,bhkd->bhqk", q, k)

@@ -48,6 +48,7 @@ Mosaic-native, negligible next to the tile matmuls.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -55,7 +56,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK = 128
+# Tile edge for the flash grid (q rows and k cols per tile). Auto policy:
+# 256 when the sequence divides (measured 1.5x over 128 across shapes —
+# fewer grid steps, half the softmax/lse bookkeeping per element), else
+# 128 (the lane-tile minimum). 512 fails to compile (VMEM).
+# COMPOSER_FLASH_BLOCK forces a specific size.
+MIN_BLOCK = 128
+PREFERRED_BLOCK = 256
+_BLOCK_ENV = os.environ.get("COMPOSER_FLASH_BLOCK")
+
+
+def _pick_block(seq_len: int) -> int:
+    if _BLOCK_ENV:
+        return int(_BLOCK_ENV)
+    if seq_len % PREFERRED_BLOCK == 0:
+        return PREFERRED_BLOCK
+    return MIN_BLOCK
 NEG_INF = -1e30
 # Per-row scalar arrays (lse, delta) are stored as (bh, _SUBLANES, S): row 0
 # holds the data; the sublane padding satisfies Mosaic's (8, 128) block-tile
@@ -445,7 +461,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def relative_flash_attention(
-    q, k, v, rel_embedding=None, *, scale: bool = True, block: int = DEFAULT_BLOCK,
+    q, k, v, rel_embedding=None, *, scale: bool = True, block: int | None = None,
     interpret: bool | None = None,
 ):
     """Causal flash attention. q, k, v: [batch, heads, S, D].
@@ -464,6 +480,8 @@ def relative_flash_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     batch, heads, seq_len, depth = q.shape
+    if block is None:
+        block = _pick_block(seq_len)
     if seq_len % block != 0:
         raise ValueError(f"sequence length {seq_len} not a multiple of {block}")
 
