@@ -647,6 +647,16 @@ def run_all(write_markdown=True):
             ),
         ),
         (
+            # The best batch-32 recipe: flash needs NO remat (O(seq)
+            # attention memory), so it skips the re-forward — 0.93 s/step
+            # vs 1.31 band+remat (v5e-1).
+            "train step (batch 32 x 2048, flash attention, no remat)",
+            lambda: run_train_benchmark(
+                batch_size=32, window_size=2048, steps=3,
+                use_pallas_attention=True,
+            ),
+        ),
+        (
             # Beyond the reference architecture: head_dim 64 keeps the
             # in-kernel rel-bias matmuls MXU-shaped. Band (shear-free XLA)
             # vs Pallas flash measured head-to-head; with the merged
