@@ -189,10 +189,10 @@ class SelfAttention(nn.Module):
                 mask=mask,
                 dropout_rng=dropout_rng,
                 dropout_rate=config.attention_dropout_rate if not deterministic else 0.0,
-                # Flash is differentiable (fused Pallas backward) but has no
-                # in-kernel dropout: trainable whenever attention dropout is
-                # inactive, else the band/XLA path applies the mask.
-                use_pallas=config.use_pallas_attention and dropout_rng is None,
+                # Flash is fully trainable (fused Pallas backward incl.
+                # in-kernel TPU-PRNG attention dropout); the attention-ops
+                # gate falls back to band/XLA off-TPU when dropout is on.
+                use_pallas=config.use_pallas_attention,
                 band_block_size=config.band_block_size,
             )
 

@@ -126,9 +126,33 @@ def multihead_attention(
     s_q, s_k = q.shape[2], k.shape[2]
     compute_dtype = q.dtype
 
+    square_causal = s_q == s_k and q_position is None and mask is None
+
+    if use_pallas and square_causal:
+        from composer_tpu.ops.pallas_attention import MIN_BLOCK, relative_flash_attention
+
+        dropout_active = dropout_rng is not None and dropout_rate > 0.0
+        # Flash dropout uses the in-kernel TPU PRNG, which the interpreter
+        # stubs to zeros — on CPU backends a dropout-on request falls
+        # through to the band/XLA paths instead.
+        flash_ok = s_q % MIN_BLOCK == 0 and (
+            not dropout_active or jax.default_backend() == "tpu"
+        )
+        if flash_ok:
+            if dropout_active:
+                # One int32 seed per call; in-kernel masks are then keyed
+                # per (batch*head, q-block, k-block) tile.
+                seed = jax.random.randint(
+                    dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                return relative_flash_attention(
+                    q, k, v, rel_embedding, scale=scale,
+                    dropout_rate=dropout_rate, dropout_seed=seed,
+                )
+            return relative_flash_attention(q, k, v, rel_embedding, scale=scale)
+
     if (
         band_block_size
-        and not use_pallas  # an explicit Pallas request wins over the band default
         and s_q == s_k
         and s_q % band_block_size == 0
         and q_position is None
@@ -146,19 +170,6 @@ def multihead_attention(
             dropout_rng=dropout_rng,
             dropout_rate=dropout_rate,
         )
-
-    if use_pallas:
-        from composer_tpu.ops.pallas_attention import MIN_BLOCK, relative_flash_attention
-
-    if (
-        use_pallas
-        and s_q == s_k
-        and q_position is None
-        and mask is None
-        and dropout_rng is None
-        and s_q % MIN_BLOCK == 0
-    ):
-        return relative_flash_attention(q, k, v, rel_embedding, scale=scale)
 
     w = jnp.einsum("bhqd,bhkd->bhqk", q, k)
 

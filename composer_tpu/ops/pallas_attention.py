@@ -53,6 +53,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -129,6 +130,22 @@ def _col_to_row(col):
     )
 
 
+def _dropout_scaler(seed, bh, ib, jb, *, block: int, num_blocks: int, rate: float):
+    """Per-tile dropout multiplier D (block, block) f32: keep/(1-rate) or 0.
+
+    Seeded by (user seed, flat tile id) so the backward regenerates the
+    forward's exact mask — tiles are identified by (bh, ib, jb) in both
+    directions. Uses the TPU hardware PRNG; the interpreter stubs it to
+    zeros, so callers must not route dropout here off-TPU.
+    """
+    tile_id = (bh * num_blocks + ib) * num_blocks + jb
+    pltpu.prng_seed(seed, tile_id)
+    bits = pltpu.prng_random_bits((block, block))
+    bits_u = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return jnp.where(bits_u >= threshold, 1.0 / (1.0 - rate), 0.0)
+
+
 def _tile_scores(q, k_tile, e_ref, ib, jb, *, block, window, scale, use_rel):
     """Scaled, causally-masked score tile (block, block) in f32.
 
@@ -169,12 +186,16 @@ def _tile_scores(q, k_tile, e_ref, ib, jb, *, block, window, scale, use_rel):
 
 
 def _flash_kernel(
+    seed_ref,
     q_ref, k_ref, v_ref, e_ref, o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, block: int, seq_len: int, window: int, scale: float, use_rel: bool,
+    dropout_rate: float,
 ):
+    bh = pl.program_id(0)
     ib = pl.program_id(1)
     num_k_blocks = ib + 1  # causal: only blocks at or before the diagonal
+    num_blocks = seq_len // block
 
     q = q_ref[:]  # (B, D)
 
@@ -198,8 +219,17 @@ def _flash_kernel(
         correction = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        p_av = p
+        if dropout_rate > 0.0:
+            # Dropout applies to the normalized weights; scaling the
+            # unnormalized p commutes with the final /l (computed from the
+            # undropped sum), so masking here is exact.
+            p_av = p * _dropout_scaler(
+                seed_ref[0], bh, ib, jb,
+                block=block, num_blocks=num_blocks, rate=dropout_rate,
+            )
         acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-            p.astype(v_tile.dtype), v_tile,
+            p_av.astype(v_tile.dtype), v_tile,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -215,10 +245,12 @@ def _flash_kernel(
 
 
 def _flash_bwd_kernel(
+    seed_ref,
     q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
     dq_ref, de_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, block: int, num_blocks: int, window: int, scale: float, use_rel: bool,
+    dropout_rate: float, heads: int,
 ):
     """Single-pass backward: one score/probability recompute per (i, j) tile
     feeds dQ, dK, dV and dE together (the split dQ / dKdV variant recomputed
@@ -230,8 +262,10 @@ def _flash_bwd_kernel(
     read-modify-write rows are race-free), and dE into a revisited per-head
     block exactly as before.
     """
+    h = pl.program_id(0)
     b = pl.program_id(1)
     jb = pl.program_id(2)
+    bh = b * heads + h
 
     @pl.when(jb == 0)
     def _zero_dq():
@@ -264,6 +298,17 @@ def _flash_bwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Bi, Bj)
+        p_dv = p
+        if dropout_rate > 0.0:
+            # Regenerate the forward's exact mask for this tile. With
+            # P' = D*p the chain rule gives ds = p*(D*dp - delta) and
+            # dV = P'^T dO; delta = rowsum(dO*O) is unchanged.
+            scaler = _dropout_scaler(
+                seed_ref[0], bh, ib, jb,
+                block=block, num_blocks=num_blocks, rate=dropout_rate,
+            )
+            dp = dp * scaler
+            p_dv = p * scaler
         ds = p * (dp - delta)  # grad wrt scaled scores, f32
         ds_c = ds.astype(k_tile.dtype)
 
@@ -299,7 +344,7 @@ def _flash_bwd_kernel(
 
         # dV_j += p^T @ dO_i ; dK_j += scale * ds^T @ q_i  (contract over i).
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p.astype(do_tile.dtype), do_tile,
+            p_dv.astype(do_tile.dtype), do_tile,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -322,21 +367,24 @@ class _Statics(NamedTuple):
     use_rel: bool
     heads: int
     interpret: bool  # run the Pallas TPU interpreter (CPU backends/tests)
+    dropout_rate: float  # in-kernel attention dropout (0.0 = off)
 
 
-def _forward_call(statics: _Statics, q, k, v, e_padded):
-    block, window, scale, use_rel, heads, interpret = statics
+def _forward_call(statics: _Statics, seed, q, k, v, e_padded):
+    block, window, scale, use_rel, heads, interpret, dropout_rate = statics
     bh, seq_len, depth = q.shape
     num_q_blocks = seq_len // block
 
     kernel = functools.partial(
         _flash_kernel,
         block=block, seq_len=seq_len, window=window, scale=scale,
-        use_rel=use_rel,
+        use_rel=use_rel, dropout_rate=dropout_rate,
     )
 
-    def squeeze_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, lse_ref, acc, m, l):
+    def squeeze_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, o_ref, lse_ref,
+                       acc, m, l):
         kernel(
+            seed_ref,
             q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0],
             o_ref.at[0], lse_ref.at[0], acc, m, l,
         )
@@ -349,6 +397,7 @@ def _forward_call(statics: _Statics, q, k, v, e_padded):
         ],
         grid=(bh, num_q_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block, depth), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seq_len, depth), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -368,24 +417,24 @@ def _forward_call(statics: _Statics, q, k, v, e_padded):
             pltpu.VMEM((block, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, e_padded)
+    )(seed, q, k, v, e_padded)
     return out, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash(statics: _Statics, q, k, v, e_padded):
-    out, _ = _forward_call(statics, q, k, v, e_padded)
+def _flash(statics: _Statics, seed, q, k, v, e_padded):
+    out, _ = _forward_call(statics, seed, q, k, v, e_padded)
     return out
 
 
-def _flash_fwd_rule(statics, q, k, v, e_padded):
-    out, lse = _forward_call(statics, q, k, v, e_padded)
-    return out, (q, k, v, e_padded, out, lse)
+def _flash_fwd_rule(statics, seed, q, k, v, e_padded):
+    out, lse = _forward_call(statics, seed, q, k, v, e_padded)
+    return out, (seed, q, k, v, e_padded, out, lse)
 
 
 def _flash_bwd_rule(statics: _Statics, residuals, dout):
-    block, window, scale, use_rel, heads, interpret = statics
-    q, k, v, e_padded, out, lse = residuals
+    block, window, scale, use_rel, heads, interpret, dropout_rate = statics
+    seed, q, k, v, e_padded, out, lse = residuals
     bh, seq_len, depth = q.shape
     batch = bh // heads
     num_blocks = seq_len // block
@@ -405,12 +454,13 @@ def _flash_bwd_rule(statics: _Statics, residuals, dout):
     kernel = functools.partial(
         _flash_bwd_kernel,
         block=block, num_blocks=num_blocks, window=window, scale=scale,
-        use_rel=use_rel,
+        use_rel=use_rel, dropout_rate=dropout_rate, heads=heads,
     )
 
-    def squeeze(q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref, delta_ref,
-                dq_ref, de_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    def squeeze(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref, lse_ref,
+                delta_ref, dq_ref, de_ref, dk_ref, dv_ref, dk_acc, dv_acc):
         kernel(
+            seed_ref,
             q_ref.at[0], k_ref.at[0], v_ref.at[0], e_ref.at[0], do_ref.at[0],
             lse_ref.at[0], delta_ref.at[0],
             dq_ref.at[0], de_ref.at[0], dk_ref.at[0], dv_ref.at[0],
@@ -431,6 +481,7 @@ def _flash_bwd_rule(statics: _Statics, residuals, dout):
         ],
         grid=(heads, batch, num_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, seq_len, depth), lambda h, b, j: (_bh(h, b, j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, depth), lambda h, b, j: (_bh(h, b, j), j, 0), memory_space=pltpu.VMEM),
@@ -450,11 +501,13 @@ def _flash_bwd_rule(statics: _Statics, residuals, dout):
             pltpu.VMEM((block, depth), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, e_padded, dout, lse, delta)
+    )(seed, q, k, v, e_padded, dout, lse, delta)
 
     dq = dq.astype(q.dtype)
     de = de.astype(e_padded.dtype)
-    return dq, dk, dv, de
+    # seed is integer-typed: its cotangent is the symbolic-zero float0.
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dseed, dq, dk, dv, de
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -463,6 +516,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def relative_flash_attention(
     q, k, v, rel_embedding=None, *, scale: bool = True, block: int | None = None,
     interpret: bool | None = None,
+    dropout_rate: float = 0.0, dropout_seed=None,
 ):
     """Causal flash attention. q, k, v: [batch, heads, S, D].
 
@@ -476,6 +530,11 @@ def relative_flash_attention(
     ``interpret`` runs the Pallas interpreter instead of Mosaic; the default
     (None) auto-enables it on CPU backends so host-only runs and tests just
     work (any non-cpu backend gets the compiled kernel).
+
+    ``dropout_rate``/``dropout_seed``: in-kernel attention dropout via the
+    TPU hardware PRNG (per-tile masks, regenerated exactly in the backward).
+    Compiled-only — the interpreter stubs the PRNG to zeros, so callers must
+    keep dropout off the flash path on CPU backends.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -518,6 +577,13 @@ def relative_flash_attention(
     k_flat = k.reshape(bh, seq_len, depth)
     v_flat = v.reshape(bh, seq_len, depth)
 
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+
     statics = _Statics(
         block=block,
         window=e_padded.shape[1] - block,
@@ -525,6 +591,7 @@ def relative_flash_attention(
         use_rel=use_rel,
         heads=heads,
         interpret=interpret,
+        dropout_rate=float(dropout_rate),
     )
-    out = _flash(statics, q_flat, k_flat, v_flat, e_padded)
+    out = _flash(statics, seed, q_flat, k_flat, v_flat, e_padded)
     return out.reshape(batch, heads, seq_len, depth)[..., :true_depth]

@@ -145,6 +145,40 @@ def test_flash_attention_rejects_unaligned_seq():
         relative_flash_attention(q, q, q, None)
 
 
+def test_dropout_request_falls_back_to_band_on_cpu(monkeypatch):
+    """Flash dropout needs the TPU hardware PRNG (the interpreter stubs it
+    to zeros): on CPU backends an active-dropout call must route to band,
+    while the deterministic call still takes flash."""
+    import composer_tpu.ops.attention as attention_mod
+    import composer_tpu.ops.band_attention as band_mod
+    import composer_tpu.ops.pallas_attention as pallas_mod
+
+    calls = {"band": 0, "pallas": 0}
+
+    def fake_band(q, *args, **kwargs):
+        calls["band"] += 1
+        return jnp.zeros_like(q)
+
+    def fake_pallas(q, *args, **kwargs):
+        calls["pallas"] += 1
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(band_mod, "band_causal_attention", fake_band)
+    monkeypatch.setattr(pallas_mod, "relative_flash_attention", fake_pallas)
+
+    q = jnp.zeros((1, 2, 128, 8))
+    attention_mod.multihead_attention(
+        q, q, q, use_pallas=True, band_block_size=128,
+        dropout_rng=jax.random.PRNGKey(0), dropout_rate=0.1,
+    )
+    assert calls == {"band": 1, "pallas": 0}
+
+    attention_mod.multihead_attention(
+        q, q, q, use_pallas=True, band_block_size=128,
+    )
+    assert calls == {"band": 1, "pallas": 1}
+
+
 def test_explicit_pallas_request_wins_over_band_default(monkeypatch):
     """A user setting use_pallas_attention must not be silently routed to the
     band path just because band_block_size has a nonzero default (advisor
