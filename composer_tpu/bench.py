@@ -657,6 +657,15 @@ def run_all(write_markdown=True):
             ),
         ),
         (
+            # 2x the reference's longest window; flash 0.83 s vs
+            # band+remat 1.28 s measured v5e-1.
+            "train step (4096 ctx, flash attention)",
+            lambda: run_train_benchmark(
+                batch_size=8, window_size=4096, steps=3,
+                use_pallas_attention=True,
+            ),
+        ),
+        (
             # Beyond the reference architecture: head_dim 64 keeps the
             # in-kernel rel-bias matmuls MXU-shaped. Band (shear-free XLA)
             # vs Pallas flash measured head-to-head; with the merged
