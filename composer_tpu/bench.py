@@ -591,6 +591,10 @@ def run_all(write_markdown=True):
     import json
     from pathlib import Path
 
+    # The flash train rows execute Pallas kernels: off-TPU they would run
+    # the (orders-of-magnitude slower) interpreter — skip them there.
+    on_tpu = jax.default_backend() == "tpu"
+
     results = []
     for name, fn in [
         ("decode (batch 1, 1024 events, KV-cached megakernel)", run_decode_benchmark),
@@ -654,7 +658,7 @@ def run_all(write_markdown=True):
             lambda: run_train_benchmark(
                 batch_size=32, window_size=2048, steps=3,
                 use_pallas_attention=True,
-            ),
+            ) if on_tpu else {"error": "flash bench skipped off-TPU (interpreter)"},
         ),
         (
             # 2x the reference's longest window; flash 0.83 s vs
@@ -663,7 +667,7 @@ def run_all(write_markdown=True):
             lambda: run_train_benchmark(
                 batch_size=8, window_size=4096, steps=3,
                 use_pallas_attention=True,
-            ),
+            ) if on_tpu else {"error": "flash bench skipped off-TPU (interpreter)"},
         ),
         (
             # Beyond the reference architecture: head_dim 64 keeps the
@@ -682,7 +686,7 @@ def run_all(write_markdown=True):
             lambda: run_train_benchmark(
                 batch_size=8, window_size=2048, embed_dim=1024,
                 use_pallas_attention=True,
-            ),
+            ) if on_tpu else {"error": "flash bench skipped off-TPU (interpreter)"},
         ),
         (
             # head_dim 128: flash's matmuls run unpadded — measured v5e-1
@@ -697,7 +701,7 @@ def run_all(write_markdown=True):
             lambda: run_train_benchmark(
                 batch_size=4, window_size=2048, embed_dim=2048, steps=3,
                 use_pallas_attention=True,
-            ),
+            ) if on_tpu else {"error": "flash bench skipped off-TPU (interpreter)"},
         ),
         (
             "LSTM baseline train step (batch 64 x 200)",

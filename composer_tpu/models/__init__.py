@@ -96,9 +96,10 @@ def create_model(model_type: ModelType, config, **overrides):
             band_block_size=int(section.get("band_block_size", 128)),
             attention_chunk_size=int(section.get("attention_chunk_size", 0)),
             remat=bool(section.get("remat", False)),
-            # Flash path: O(S) attention memory, differentiable (fused
-            # Pallas backward); training uses it only while attention
-            # dropout is inactive (see transformer.py gate).
+            # Flash path: O(S) attention memory, fully differentiable
+            # (fused Pallas backward incl. in-kernel TPU-PRNG dropout);
+            # ops/attention.py falls back to band off-TPU when dropout
+            # is active, and the Trainer falls back on a mesh.
             use_pallas_attention=bool(section.get("use_pallas_attention", False)),
             **overrides,
         )

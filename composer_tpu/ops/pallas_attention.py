@@ -80,54 +80,44 @@ NEG_INF = -1e30
 _SUBLANES = 8
 
 
-def _shear_rows_right(matrix, block: int):
-    """Rolls row i of ``matrix`` right by i, via log2(block) roll+select rounds."""
-    rows = matrix.shape[0]
+def _shear_rows(matrix, direction: int):
+    """Rolls row i of ``matrix`` by i lanes (direction +1 = right, -1 = left),
+    via log2(rows) roll+select rounds — all Mosaic-native ops."""
+    rows, width = matrix.shape
     row_index = jax.lax.broadcasted_iota(jnp.int32, matrix.shape, 0)
     shift = 1
     while shift < rows:
-        rolled = pltpu.roll(matrix, shift, axis=1)
+        # pltpu.roll rotates right; right by (width - s) == left by s.
+        amount = shift if direction > 0 else width - shift
+        rolled = pltpu.roll(matrix, amount, axis=1)
         take_rolled = (row_index & shift) != 0
         matrix = jnp.where(take_rolled, rolled, matrix)
         shift *= 2
     return matrix
 
 
-def _shear_rows_left(matrix, block: int):
-    """Rolls row i of ``matrix`` LEFT by i — the inverse of _shear_rows_right."""
-    rows = matrix.shape[0]
-    width = matrix.shape[1]
-    row_index = jax.lax.broadcasted_iota(jnp.int32, matrix.shape, 0)
-    shift = 1
-    while shift < rows:
-        # roll right by (width - s) == roll left by s
-        rolled = pltpu.roll(matrix, width - shift, axis=1)
-        take_rolled = (row_index & shift) != 0
-        matrix = jnp.where(take_rolled, rolled, matrix)
-        shift *= 2
-    return matrix
+def _diag_transpose(vec, axis: int):
+    """Lane<->sublane transpose of a length-B vector via diag select+reduce.
+
+    ``axis=1`` maps a (1, B) lanes row to a (B, 1) sublanes column;
+    ``axis=0`` is the inverse. Mosaic has no native relayout for this; the
+    (B, B) select + reduction is negligible next to the tile matmuls.
+    """
+    size = max(vec.shape)
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    spread = jnp.broadcast_to(vec, (size, size))
+    return jnp.sum(
+        jnp.where(idx_r == idx_c, spread, 0.0), axis=axis, keepdims=True
+    )
 
 
 def _row_to_col(row):
-    """(1, B) lanes vector -> (B, 1) sublanes column, via diag select+reduce."""
-    size = row.shape[1]
-    idx_r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
-    idx_c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
-    spread = jnp.broadcast_to(row, (size, size))
-    return jnp.sum(
-        jnp.where(idx_r == idx_c, spread, 0.0), axis=1, keepdims=True
-    )
+    return _diag_transpose(row, axis=1)
 
 
 def _col_to_row(col):
-    """(B, 1) sublanes column -> (1, B) lanes vector (inverse of _row_to_col)."""
-    size = col.shape[0]
-    idx_r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
-    idx_c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
-    spread = jnp.broadcast_to(col, (size, size))
-    return jnp.sum(
-        jnp.where(idx_r == idx_c, spread, 0.0), axis=0, keepdims=True
-    )
+    return _diag_transpose(col, axis=0)
 
 
 def _dropout_scaler(seed, bh, ib, jb, *, block: int, num_blocks: int, rate: float):
@@ -171,7 +161,7 @@ def _tile_scores(q, k_tile, e_ref, ib, jb, *, block, window, scale, use_rel):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (B, 2B)
-        band = _shear_rows_right(band, block)
+        band = _shear_rows(band, 1)
         scores = scores + band[:, block - 1 : 2 * block - 1]
 
     scores = scores * scale
@@ -323,7 +313,7 @@ def _flash_bwd_kernel(
             # roll row i left by i -> dband[i, m] with m = B-1-i+j.
             # (Mosaic's dynamic_rotate is 32-bit only: shear in f32.)
             ds_band = jnp.pad(ds, ((0, 0), (block - 1, 1)))
-            dband = _shear_rows_left(ds_band, block).astype(k_tile.dtype)
+            dband = _shear_rows(ds_band, -1).astype(k_tile.dtype)
             dq_update = dq_update + scale * jax.lax.dot_general(
                 dband, e_chunk.astype(dband.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),

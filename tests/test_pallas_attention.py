@@ -15,7 +15,11 @@ from composer_tpu.ops.pallas_attention import relative_flash_attention
 
 
 @pytest.mark.parametrize("use_rel", [False, True])
-def test_flash_attention_matches_xla(use_rel):
+@pytest.mark.parametrize("block", [128, 256])
+def test_flash_attention_matches_xla(use_rel, block):
+    """block=128 at S=256 exercises the multi-tile grid (off-diagonal tiles,
+    online-softmax accumulation); block=256 the single-tile fast path that
+    _pick_block selects by default at this length."""
     B, H, S, D, W = 1, 2, 256, 16, 512
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     q = jax.random.normal(keys[0], (B, H, S, D), jnp.float32)
@@ -27,7 +31,7 @@ def test_flash_attention_matches_xla(use_rel):
         q, k, v, rel_embedding=E, scale=True
     )
     with pltpu.force_tpu_interpret_mode():
-        out = relative_flash_attention(q, k, v, E, scale=True)
+        out = relative_flash_attention(q, k, v, E, scale=True, block=block)
 
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(reference), rtol=2e-4, atol=2e-4
@@ -35,10 +39,13 @@ def test_flash_attention_matches_xla(use_rel):
 
 
 @pytest.mark.parametrize("use_rel", [False, True])
-@pytest.mark.parametrize("depth", [16, 64])
-def test_flash_attention_grads_match_xla(use_rel, depth):
+@pytest.mark.parametrize("depth,block", [(16, 128), (16, 256), (64, 128)])
+def test_flash_attention_grads_match_xla(use_rel, depth, block):
     """The custom_vjp backward (fused Pallas dQ/dK/dV/dE kernels) must match
-    XLA autodiff through the reference attention path."""
+    XLA autodiff through the reference attention path. block=128 at S=256
+    pins the multi-tile backward: off-diagonal tiles, the revisited dQ/dE
+    read-modify-write accumulation across grid steps, and the off-diagonal
+    shear paths."""
     B, H, S, W = 1, 2, 256, 512
     keys = jax.random.split(jax.random.PRNGKey(1), 5)
     q = jax.random.normal(keys[0], (B, H, S, depth), jnp.float32)
@@ -52,7 +59,7 @@ def test_flash_attention_grads_match_xla(use_rel, depth):
         return jnp.sum(out * cot)
 
     def loss_flash(q, k, v, E):
-        out = relative_flash_attention(q, k, v, E, scale=True)
+        out = relative_flash_attention(q, k, v, E, scale=True, block=block)
         return jnp.sum(out * cot)
 
     argnums = (0, 1, 2, 3) if use_rel else (0, 1, 2)
