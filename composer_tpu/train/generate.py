@@ -235,18 +235,17 @@ class TransformerDecoder:
         self.params = params
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
-        def pipeline(params, packed, prompt, rng, seed, temps, topks, topps,
+        def pipeline(packed, prompt, seed, temps, topks, topps,
                      cache_len, length, greedy, use_k, use_p):
             # ONE device program per generate call: the kernel consumes the
             # prompt teacher-forced and samples every new token itself — no
             # external prefill or cache transform (per-dispatch latency over
             # the device link is ~24 ms here, so dispatch count dominates
-            # wall time for short generations).
+            # wall time for short generations). The kernel seeds its own
+            # PRNG from the scalar ``seed``; no host-side PRNGKey program.
             from composer_tpu.ops.decode_kernel_batched import (
                 megakernel_generate_batched,
             )
-
-            del params, rng  # packing already captured the weights
             if prompt.shape[0] == 1:
                 tokens = decode_kernel.megakernel_generate(
                     packed, prompt[0], seed, temps,
@@ -310,8 +309,7 @@ class TransformerDecoder:
             greedy, use_k, use_p = sampling_flags(tc, kc, pc)
             outputs.append(
                 self._pipeline(
-                    self.params, self.packed, prompt[start : start + chunk],
-                    jax.random.PRNGKey(chunk_seed),
+                    self.packed, prompt[start : start + chunk],
                     chunk_seed, tc, kc, pc, cache_len, length,
                     greedy, use_k, use_p,
                 )
@@ -376,10 +374,11 @@ def generate_ids(
     sampling settings into one call. A row with temperature <= 0 decodes
     greedily.
     """
-    prompt = jnp.asarray(prompt_ids, dtype=jnp.int32)
-    squeeze = prompt.ndim == 1
+    prompt_host = np.asarray(prompt_ids, dtype=np.int32)
+    squeeze = prompt_host.ndim == 1
     if squeeze:
-        prompt = prompt[None]
+        prompt_host = prompt_host[None]
+    prompt = jnp.asarray(prompt_host)
     rng = jax.random.PRNGKey(seed)
     temps, topks, topps = _normalize_sampling(
         prompt.shape[0], temperature, top_k, top_p
@@ -410,5 +409,8 @@ def generate_ids(
             *_warper_arrays(temps, topks, topps),
         )
 
-    result = np.asarray(jnp.concatenate([prompt, generated], axis=1))
+    # Prompt+generated are joined on the HOST: a device-side concatenate
+    # would be one more program dispatch (and a re-download of the prompt),
+    # and in this environment every dispatch rides a ~24 ms tunnel RTT.
+    result = np.concatenate([prompt_host, np.asarray(generated)], axis=1)
     return result[0] if squeeze else result

@@ -226,7 +226,7 @@ def test_chunked_engine_splits_large_batches(setup):
 
     calls = []
 
-    def fake_pipeline(params, packed, prompt, rng, seed, temps, topks, topps,
+    def fake_pipeline(packed, prompt, seed, temps, topks, topps,
                       cache_len, length, greedy, use_k, use_p):
         calls.append((prompt.shape[0], int(seed)))
         # Tag outputs with the seed so ordering is checkable.
@@ -481,7 +481,7 @@ class TestInKernelSamplingFilters:
         engine = gen.TransformerDecoder(model, params, dtype=jnp.float32)
         seen = []
 
-        def fake_pipeline(params, packed, prompt, rng, seed, temps, topks,
+        def fake_pipeline(packed, prompt, seed, temps, topks,
                           topps, cache_len, length, greedy, use_k, use_p):
             seen.append((topks, topps, greedy, use_k, use_p))
             return jnp.zeros((prompt.shape[0], length), jnp.int32)
