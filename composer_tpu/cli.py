@@ -398,11 +398,17 @@ def _make_trainer(model_type, config, mesh=None):
               help="Whether to show an epoch progress bar. Defaults to True.")
 @click.option("--data-parallel/--no-data-parallel", default=True,
               help="Shard batches over all local devices (data parallelism).")
+@click.option("--model-parallel", type=int, default=1,
+              help="Tensor-parallel degree: shards attention heads, MLP "
+                   "hidden units, and their optimizer state over a 'model' "
+                   "mesh axis of this size (the remaining devices form the "
+                   "data axis). Defaults to 1 (pure data parallelism).")
 @click.option("--profile-dir", default=None, type=str,
               help="Capture a jax.profiler trace of a few steps into this directory.")
 def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
           use_generator, max_files, save_frequency_mode, save_frequency,
-          max_checkpoints, show_progress_bar, data_parallel, profile_dir):
+          max_checkpoints, show_progress_bar, data_parallel, model_parallel,
+          profile_dir):
     """Trains the specified model."""
     import jax
 
@@ -424,7 +430,19 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
         )
 
     mesh = None
-    if data_parallel and jax.device_count() > 1:
+    if model_parallel > 1:
+        if jax.device_count() % model_parallel:
+            raise click.BadParameter(
+                f"--model-parallel {model_parallel} does not divide the "
+                f"{jax.device_count()} available devices."
+            )
+        mesh = create_mesh(model=model_parallel)
+        logging.info(
+            "Mesh over %d devices: data=%d x model=%d (tensor parallel).",
+            jax.device_count(), jax.device_count() // model_parallel,
+            model_parallel,
+        )
+    elif data_parallel and jax.device_count() > 1:
         mesh = create_mesh(model=1)
         logging.info("Data-parallel mesh over %d devices.", jax.device_count())
 

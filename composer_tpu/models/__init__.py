@@ -99,7 +99,8 @@ def create_model(model_type: ModelType, config, **overrides):
             # Flash path: O(S) attention memory, fully differentiable
             # (fused Pallas backward incl. in-kernel TPU-PRNG dropout);
             # ops/attention.py falls back to band off-TPU when dropout
-            # is active, and the Trainer falls back on a mesh.
+            # is active; under a multi-device mesh the Trainer routes the
+            # kernel through shard_map (config.flash_mesh).
             use_pallas_attention=bool(section.get("use_pallas_attention", False)),
             **overrides,
         )

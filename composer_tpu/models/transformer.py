@@ -66,6 +66,11 @@ class TransformerConfig:
     # skew path, no O(S^2) relayout. 0 disables.
     band_block_size: int = 128
     remat: bool = False
+    # Multi-device jax.sharding.Mesh for the Pallas flash path (pallas_call
+    # is GSPMD-opaque; the kernel runs under shard_map over batch x heads —
+    # see ops/pallas_attention.sharded_relative_flash_attention). Set at
+    # runtime by the Trainer; never serialized into YAML configs.
+    flash_mesh: Any = None
 
     @property
     def head_dim(self) -> int:
@@ -194,6 +199,7 @@ class SelfAttention(nn.Module):
                 # gate falls back to band/XLA off-TPU when dropout is on.
                 use_pallas=config.use_pallas_attention,
                 band_block_size=config.band_block_size,
+                flash_mesh=config.flash_mesh,
             )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, config.embed_dim)

@@ -110,6 +110,7 @@ def multihead_attention(
     dropout_rate: float = 0.0,
     use_pallas: bool = False,
     band_block_size: int = 0,
+    flash_mesh=None,
 ) -> jnp.ndarray:
     """Causal multi-head attention core.
 
@@ -122,6 +123,13 @@ def multihead_attention(
     ``band_block_size`` > 0 routes eligible square causal self-attention
     through ops/band_attention.py — same numerics, no skew relayout (the
     2048-ctx train bottleneck; see that module's docstring).
+
+    ``flash_mesh``: a multi-device ``jax.sharding.Mesh`` to run the Pallas
+    path under (shard_map over batch x heads; see
+    pallas_attention.sharded_relative_flash_attention). Ignored unless
+    ``use_pallas`` selects the flash path. If the batch/heads don't divide
+    the mesh axes, attention falls through to the (GSPMD-partitionable)
+    band/XLA paths instead.
     """
     s_q, s_k = q.shape[2], k.shape[2]
     compute_dtype = q.dtype
@@ -129,7 +137,11 @@ def multihead_attention(
     square_causal = s_q == s_k and q_position is None and mask is None
 
     if use_pallas and square_causal:
-        from composer_tpu.ops.pallas_attention import MIN_BLOCK, relative_flash_attention
+        from composer_tpu.ops.pallas_attention import (
+            MIN_BLOCK,
+            relative_flash_attention,
+            sharded_relative_flash_attention,
+        )
 
         dropout_active = dropout_rng is not None and dropout_rate > 0.0
         # Flash dropout uses the in-kernel TPU PRNG, which the interpreter
@@ -138,13 +150,31 @@ def multihead_attention(
         flash_ok = s_q % MIN_BLOCK == 0 and (
             not dropout_active or jax.default_backend() == "tpu"
         )
+        mesh = flash_mesh if getattr(flash_mesh, "size", 1) > 1 else None
+        if flash_ok and mesh is not None:
+            from composer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if (
+                q.shape[0] % mesh_shape.get(DATA_AXIS, 1)
+                or q.shape[1] % mesh_shape.get(MODEL_AXIS, 1)
+            ):
+                flash_ok = False  # indivisible shard — band handles it
         if flash_ok:
+            seed = None
             if dropout_active:
                 # One int32 seed per call; in-kernel masks are then keyed
                 # per (batch*head, q-block, k-block) tile.
                 seed = jax.random.randint(
                     dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
                 )
+            if mesh is not None:
+                return sharded_relative_flash_attention(
+                    q, k, v, rel_embedding, mesh=mesh, scale=scale,
+                    dropout_rate=dropout_rate if dropout_active else 0.0,
+                    dropout_seed=seed,
+                )
+            if dropout_active:
                 return relative_flash_attention(
                     q, k, v, rel_embedding, scale=scale,
                     dropout_rate=dropout_rate, dropout_seed=seed,

@@ -585,3 +585,86 @@ def relative_flash_attention(
     )
     out = _flash(statics, seed, q_flat, k_flat, v_flat, e_padded)
     return out.reshape(batch, heads, seq_len, depth)[..., :true_depth]
+
+
+def sharded_relative_flash_attention(
+    q, k, v, rel_embedding=None, *, mesh, batch_axis="data", head_axis="model",
+    scale: bool = True, block: int | None = None, interpret: bool | None = None,
+    dropout_rate: float = 0.0, dropout_seed=None,
+):
+    """Flash attention under a multi-device ``jax.sharding.Mesh``.
+
+    ``pallas_call`` is opaque to GSPMD, so the kernel cannot be auto-
+    partitioned the way the XLA/band paths are. Attention is embarrassingly
+    parallel over (batch, heads), though: this wraps the kernel in
+    ``jax.shard_map``, sharding batch over ``batch_axis`` and heads (plus the
+    per-head relative table) over ``head_axis`` — each device runs the
+    single-device Mosaic program on its local slab and no collectives are
+    needed in the forward. The backward works through shard_map's transpose:
+    dq/dk/dv stay shard-local and the relative-table gradient is all-reduced
+    over the batch axis automatically (the table is replicated along it).
+    Gradients are pinned against the single-device kernel in
+    tests/test_mesh_flash.py.
+
+    Requirements: batch divisible by the ``batch_axis`` size and heads by the
+    ``head_axis`` size (axes absent from ``mesh`` or of size 1 are ignored).
+    With in-kernel dropout, each shard folds its mesh coordinates into the
+    seed so masks decorrelate across devices.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    b_size = mesh_shape.get(batch_axis, 1)
+    h_size = mesh_shape.get(head_axis, 1)
+    b_ax = batch_axis if b_size > 1 else None
+    h_ax = head_axis if h_size > 1 else None
+    batch, heads = q.shape[0], q.shape[1]
+    if b_ax and batch % b_size:
+        raise ValueError(f"batch {batch} not divisible by {batch_axis}={b_size}")
+    if h_ax and heads % h_size:
+        raise ValueError(f"heads {heads} not divisible by {head_axis}={h_size}")
+
+    dropout_active = dropout_rate > 0.0
+    if dropout_active and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+        if dropout_active
+        else jnp.zeros((1,), jnp.int32)
+    )
+
+    use_rel = rel_embedding is not None
+    spec_qkv = P(b_ax, h_ax, None, None)
+
+    def body(seed, q, k, v, e):
+        if dropout_active:
+            shard = jnp.int32(0)
+            if b_ax is not None:
+                shard = shard + jax.lax.axis_index(b_ax)
+            if h_ax is not None:
+                shard = shard * h_size + jax.lax.axis_index(h_ax)
+            # int32 wrap-around is fine — any shard-distinct value works.
+            seed = seed + shard * jnp.int32(1000003)
+        return relative_flash_attention(
+            q, k, v, e, scale=scale, block=block, interpret=interpret,
+            dropout_rate=dropout_rate,
+            dropout_seed=seed if dropout_active else None,
+        )
+
+    if use_rel:
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(None), spec_qkv, spec_qkv, spec_qkv, P(h_ax, None, None)),
+            out_specs=spec_qkv,
+            check_vma=False,
+        )
+        return fn(seed, q, k, v, rel_embedding)
+    fn = jax.shard_map(
+        lambda s, q, k, v: body(s, q, k, v, None),
+        mesh=mesh,
+        in_specs=(P(None), spec_qkv, spec_qkv, spec_qkv),
+        out_specs=spec_qkv,
+        check_vma=False,
+    )
+    return fn(seed, q, k, v)

@@ -57,10 +57,19 @@ class CheckpointManager:
 
 
 def abstract_like(pytree):
-    """Shape/dtype skeleton of a pytree, for StandardRestore targets."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape")
-        else x,
-        pytree,
-    )
+    """Shape/dtype skeleton of a pytree, for StandardRestore targets.
+
+    Shardings are preserved when present so restoring a tensor-parallel
+    template places each weight directly on its mesh shards (no
+    host-gather-then-reshard round trip).
+    """
+
+    def skeleton(x):
+        if not hasattr(x, "shape"):
+            return x
+        sharding = getattr(x, "sharding", None)
+        if sharding is not None and hasattr(sharding, "mesh"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    return jax.tree_util.tree_map(skeleton, pytree)

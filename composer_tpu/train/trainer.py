@@ -102,18 +102,15 @@ class Trainer:
             and getattr(mesh, "size", 1) > 1
             and getattr(getattr(model, "config", None), "use_pallas_attention", False)
         ):
-            # pallas_call is opaque to GSPMD (and the interpreter's
-            # io_callbacks cannot be partitioned at all): under a multi-device
-            # mesh, route attention through the band path — which is also the
-            # faster train path at every measured shape (docs/band-attention.md).
+            # pallas_call is opaque to GSPMD: under a multi-device mesh the
+            # flash kernel runs per-shard via shard_map over (batch, heads)
+            # — the attention gate handles it once the mesh is on the config
+            # (ops/pallas_attention.sharded_relative_flash_attention; falls
+            # back to the band path only for indivisible batch/head counts).
             import dataclasses
 
-            logging.warning(
-                "use_pallas_attention is single-device; multi-device mesh "
-                "detected — training through the band attention path instead."
-            )
             model = type(model)(
-                dataclasses.replace(model.config, use_pallas_attention=False)
+                dataclasses.replace(model.config, flash_mesh=mesh)
             )
         self.model = model
         self.model_type = model_type
@@ -134,9 +131,36 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         tokens = jnp.zeros((batch_size, window_size), dtype=jnp.int32)
         variables = self.model.init({"params": rng}, tokens)
+        logical_specs = None
+        if (
+            self.mesh is not None
+            and dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get(mesh_lib.MODEL_AXIS, 1) > 1
+        ):
+            # Tensor parallelism: weights follow their logical annotations
+            # (heads/mlp -> the model axis; see mesh.LOGICAL_AXIS_RULES).
+            # Leaves without annotations resolve to replicated, so a model
+            # family with no TP hooks (MusicRNN) degrades to pure DP.
+            logical_specs = nn.get_partition_spec(variables)
         variables = nn.unbox(variables)  # strip Partitioned metadata boxes
         params = variables["params"]
         extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        if logical_specs is not None:
+            params = mesh_lib.shard_params(
+                params, self.mesh, logical_specs["params"]
+            )
+            # jit propagates the parameter shardings into the optimizer
+            # mirrors (Adam mu/nu shard like their weights; counts replicate).
+            opt_state = jax.jit(self.optimizer.init)(params)
+            replicated = mesh_lib.replicated_sharding(self.mesh)
+            return TrainState(
+                step=jax.device_put(jnp.ones((), jnp.int32), replicated),
+                epoch=jax.device_put(jnp.ones((), jnp.int32), replicated),
+                params=params,
+                opt_state=opt_state,
+                extra_vars=jax.device_put(extra_vars, replicated),
+            )
         state = TrainState(
             step=jnp.ones((), jnp.int32),
             epoch=jnp.ones((), jnp.int32),

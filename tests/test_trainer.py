@@ -175,13 +175,80 @@ def test_data_parallel_production_shape_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
-def test_flash_attention_falls_back_to_band_on_a_mesh():
-    """use_pallas_attention is single-device (pallas_call is opaque to
-    GSPMD; the interpreter's io_callbacks cannot be partitioned at all).
-    Under a multi-device mesh the Trainer must route through the band path
-    — same model numerics to attention-impl tolerance, no SPMD crash."""
-    from jax.experimental.pallas import tpu as pltpu
+def test_tensor_parallel_training_matches_single_device(tmp_path):
+    """TP on a (data=4, model=2) mesh: weights follow their logical
+    annotations (heads/mlp -> model axis), optimizer mirrors shard with
+    their weights, and losses/parameters match the single-device run.
+    Also round-trips a TP-sharded checkpoint (abstract_like preserves
+    shardings so orbax restores straight onto the mesh)."""
+    from jax.sharding import NamedSharding
 
+    assert jax.device_count() >= 8
+    window = 128
+    config = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=32, window_size=window, num_layers=2,
+        num_heads=4, use_relative_attention=True, band_block_size=128,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    dataset = WindowDataset(
+        _toy_stream(3 * 8 * (window + 1)), batch_size=8, window_size=window,
+        shuffle=False,
+    )
+
+    single = Trainer(Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state_s = single.init_state(8, window)
+
+    mesh = create_mesh(data=4, model=2)
+    parallel = Trainer(
+        Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
+    )
+    state_p = parallel.init_state(8, window)
+
+    # The QKV projection must actually be sharded over the model axis.
+    qkv = state_p.params["h_1"]["attn"]["c_attn"]["kernel"]
+    assert isinstance(qkv.sharding, NamedSharding)
+    assert "model" in tuple(qkv.sharding.spec)
+    rel = state_p.params["h_1"]["attn"]["rel_embedding"]
+    assert "model" in tuple(rel.sharding.spec)
+
+    rng = jax.random.PRNGKey(0)
+    for x, y in dataset:
+        rng, step_rng = jax.random.split(rng)
+        state_s, metrics_s, _ = single.train_step(
+            state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
+        )
+        xp, yp = parallel._place_batch(x, y)
+        state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=1e-5
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(state_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    # Checkpoint round-trip keeps the TP placement (abstract_like carries
+    # shardings, so orbax restores each weight straight onto its shards).
+    import flax
+
+    from composer_tpu.train.checkpoint import CheckpointManager
+
+    CheckpointManager(tmp_path).save(1, flax.serialization.to_state_dict(state_p))
+    restored = parallel.restore(tmp_path, 8, window)
+    r_qkv = restored.params["h_1"]["attn"]["c_attn"]["kernel"]
+    assert "model" in tuple(r_qkv.sharding.spec)
+    np.testing.assert_array_equal(
+        np.asarray(r_qkv),
+        np.asarray(state_p.params["h_1"]["attn"]["c_attn"]["kernel"]),
+    )
+
+
+def test_flash_attention_trains_through_shard_map_on_a_mesh():
+    """use_pallas_attention under a multi-device mesh: pallas_call is opaque
+    to GSPMD, so the Trainer puts the mesh on the model config and the
+    attention gate runs the kernel per-shard via shard_map over
+    (batch, heads). Same kernel as single-device -> losses match tightly."""
     assert jax.device_count() >= 8
     window = 128
     config = TransformerConfig(
@@ -194,29 +261,32 @@ def test_flash_attention_falls_back_to_band_on_a_mesh():
         shuffle=False,
     )
 
-    with pltpu.force_tpu_interpret_mode():
-        single = Trainer(Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2)
-        state_s = single.init_state(8, window)
-        mesh = create_mesh(data=8, model=1)
-        parallel = Trainer(
-            Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
-        )
-        assert parallel.model.config.use_pallas_attention is False  # overridden
-        assert single.model.config.use_pallas_attention is True
-        state_p = parallel.init_state(8, window)
+    single = Trainer(Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2)
+    state_s = single.init_state(8, window)
+    mesh = create_mesh(data=4, model=2)
+    parallel = Trainer(
+        Transformer(config), ModelType.TRANSFORMER, learning_rate=1e-2, mesh=mesh
+    )
+    assert parallel.model.config.use_pallas_attention is True  # no fallback
+    assert parallel.model.config.flash_mesh is mesh
+    state_p = parallel.init_state(8, window)
 
-        rng = jax.random.PRNGKey(0)
-        for x, y in dataset:
-            rng, step_rng = jax.random.split(rng)
-            state_s, metrics_s, _ = single.train_step(
-                state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
-            )
-            xp, yp = parallel._place_batch(x, y)
-            state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
-            # flash (single) vs band (mesh): equal to attention-impl tolerance.
-            np.testing.assert_allclose(
-                float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=3e-4, atol=3e-4
-            )
+    rng = jax.random.PRNGKey(0)
+    for x, y in dataset:
+        rng, step_rng = jax.random.split(rng)
+        state_s, metrics_s, _ = single.train_step(
+            state_s, jnp.asarray(x), jnp.asarray(y), step_rng, None
+        )
+        xp, yp = parallel._place_batch(x, y)
+        state_p, metrics_p, _ = parallel.train_step(state_p, xp, yp, step_rng, None)
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_p["loss"]), rtol=1e-5
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(state_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
 def test_fused_evaluate_matches_per_batch_loop():
