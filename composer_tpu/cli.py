@@ -75,7 +75,7 @@ def get_default_config():
 @cli.command()
 @click.argument("filepath")
 def make_config(filepath):
-    """Creates a configuration file from the default configuration."""
+    """Write a fresh config file seeded from the packaged defaults."""
     copy2(get_default_config(), filepath)
 
 
@@ -196,7 +196,7 @@ def get_dataset(
 def preprocess(model_type, dataset_path, output_directory, num_workers, config_filepath,
                sustain_period_encode_mode, transform, transform_percent, split,
                test_percent, output_metadata):
-    """Preprocesses a raw dataset so that it can be used by the models."""
+    """Convert a directory of raw MIDI files into model-ready .data files."""
     from composer_tpu.data import preprocess as preprocess_module
 
     config = config_module.get(config_filepath or get_default_config())
@@ -247,7 +247,7 @@ def preprocess(model_type, dataset_path, output_directory, num_workers, config_f
               help="The maximum number of files to load. Defaults to all files.")
 def export_dataset(model_type, preprocessed_path, output_path, config_filepath,
                    use_generator, max_files):
-    """Exports a processed dataset as a TFRecord file for fast loading."""
+    """Pack a preprocessed dataset into a single TFRecord for fast startup."""
     from composer_tpu.data import tfrecord
 
     config = config_module.get(config_filepath or get_default_config())
@@ -265,7 +265,7 @@ def export_dataset(model_type, preprocessed_path, output_path, config_filepath,
 @click.option("-c", "--config", "config_filepath", default=None,
               help="The path to the model configuration file. If unspecified, uses the default config.")
 def summary(model_type, config_filepath):
-    """Prints a summary of the model."""
+    """Show the model's layer/parameter breakdown for a given config."""
     import jax
 
     config = config_module.get(config_filepath or get_default_config())
@@ -409,7 +409,7 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
           use_generator, max_files, save_frequency_mode, save_frequency,
           max_checkpoints, show_progress_bar, data_parallel, model_parallel,
           profile_dir):
-    """Trains the specified model."""
+    """Run the training loop for the chosen model on a preprocessed dataset."""
     import jax
 
     from composer_tpu.parallel import create_mesh
@@ -436,11 +436,13 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
                 f"--model-parallel {model_parallel} does not divide the "
                 f"{jax.device_count()} available devices."
             )
-        mesh = create_mesh(model=model_parallel)
+        # --no-data-parallel limits the data axis to 1: only model_parallel
+        # devices participate (create_mesh truncates the rest).
+        data_degree = None if data_parallel else 1
+        mesh = create_mesh(data=data_degree, model=model_parallel)
         logging.info(
-            "Mesh over %d devices: data=%d x model=%d (tensor parallel).",
-            jax.device_count(), jax.device_count() // model_parallel,
-            model_parallel,
+            "Mesh: data=%d x model=%d (tensor parallel) over %d devices.",
+            mesh.shape["data"], model_parallel, mesh.size,
         )
     elif data_parallel and jax.device_count() > 1:
         mesh = create_mesh(model=1)
@@ -512,7 +514,7 @@ def import_checkpoint(model_type, checkpoint_dir, output_logdir, config_filepath
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
 def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
-    """Evaluate the specified model (mean NLL loss and accuracy)."""
+    """Score a restored checkpoint on a dataset (mean NLL loss and accuracy)."""
     config = get_config_from_restoredir(restoredir)
     trainer = _make_trainer(model_type, config)
     state = trainer.restore(

@@ -651,6 +651,12 @@ def sharded_relative_flash_attention(
             dropout_seed=seed if dropout_active else None,
         )
 
+    # check_vma=False disables shard_map's replication tracking (pallas_call
+    # is opaque to it). The rel-table gradient then relies on shard_map's
+    # transpose inserting the data-axis psum for the replicated e operand —
+    # behavior pinned by the grad-parity test in tests/test_mesh_flash.py
+    # (the guard for this flag): if a JAX upgrade changes the transpose
+    # semantics, that pin fails loudly instead of corrupting grads silently.
     if use_rel:
         fn = jax.shard_map(
             body,

@@ -245,3 +245,58 @@ def test_import_checkpoint_failure_leaves_no_config_snapshot(tmp_path):
     )
     assert result.exit_code != 0
     assert not (out / "config.yml").exists()
+
+
+def test_train_model_parallel_mesh(workspace, caplog):
+    """ADVICE r2: --model-parallel on the 8-device CPU mesh, including the
+    --no-data-parallel interaction (data axis collapses to 1)."""
+    import logging as _logging
+
+    root, config_path, raw = workspace
+    # Global batch must divide the data axis (4 with --model-parallel 2 on
+    # the 8-device mesh): bump the tiny config's transformer batch to 4.
+    mp_config = root / "config_mp.yml"
+    mp_config.write_text(
+        config_path.read_text().replace(
+            "train: {batch_size: 2, learning_rate: 0.01}",
+            "train: {batch_size: 4, learning_rate: 0.01}",
+        )
+    )
+    processed = root / "processed_mp"
+    result = run_cli(
+        "--seed", 3, "preprocess", "transformer", raw, processed,
+        "-c", mp_config, "-w", 1, "--no-transform",
+    )
+    assert result.exit_code == 0, result.output
+
+    with caplog.at_level(_logging.INFO):
+        result = run_cli(
+            "--seed", 3, "train", "transformer", processed,
+            "-c", mp_config, "--logdir", root / "logs_mp", "-e", 1,
+            "--save-freq-mode", "epoch", "--no-show-progress-bar",
+            "--model-parallel", 2,
+        )
+    assert result.exit_code == 0, result.output
+    assert "data=4 x model=2" in caplog.text
+
+    with caplog.at_level(_logging.INFO):
+        result = run_cli(
+            "--seed", 3, "train", "transformer", processed,
+            "-c", mp_config, "--logdir", root / "logs_mp1", "-e", 1,
+            "--save-freq-mode", "epoch", "--no-show-progress-bar",
+            "--no-data-parallel", "--model-parallel", 2,
+        )
+    assert result.exit_code == 0, result.output
+    assert "data=1 x model=2" in caplog.text
+
+
+def test_train_model_parallel_indivisible(workspace):
+    root, config_path, _ = workspace
+    result = CliRunner().invoke(
+        cli,
+        ["train", "transformer", str(root / "processed_mp"),
+         "-c", str(config_path), "--logdir", str(root / "logs_bad"),
+         "--model-parallel", "3"],
+    )
+    assert result.exit_code != 0
+    assert "does not divide" in result.output

@@ -92,3 +92,26 @@ def test_attention_gate_routes_flash_through_mesh():
     )
     ref = relative_flash_attention(q, k, v, e)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_flash_dropout_branch_traces_on_cpu_mesh():
+    """ADVICE r2: the in-kernel dropout branch (per-shard seed folding via
+    jax.lax.axis_index inside the shard_map body) is TPU-only at runtime —
+    abstract evaluation still exercises the axis_index/seed plumbing and the
+    custom_vjp wiring, so regressions are caught off-TPU."""
+    mesh = create_mesh(data=4, model=2)
+    q, k, v, e = _inputs(8, 8, 256, 16, window=512)
+
+    def fwd(q, k, v, e):
+        return sharded_relative_flash_attention(
+            q, k, v, e, mesh=mesh, dropout_rate=0.1, dropout_seed=123,
+        )
+
+    out = jax.eval_shape(fwd, q, k, v, e)
+    assert out.shape == q.shape and out.dtype == q.dtype
+
+    def loss(q, k, v, e):
+        return jnp.sum(fwd(q, k, v, e) ** 2)
+
+    grads = jax.eval_shape(jax.grad(loss, argnums=(0, 1, 2, 3)), q, k, v, e)
+    assert [g.shape for g in grads] == [q.shape, k.shape, v.shape, e.shape]
