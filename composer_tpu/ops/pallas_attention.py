@@ -96,6 +96,50 @@ def _shear_rows(matrix, direction: int):
     return matrix
 
 
+def _fold_band(band, row_index, col_index):
+    """Folds a (B, 2B) band into circular (B, B) coordinates.
+
+    Row i of the band needs columns m = B-1-i+j for j in [0, B) — B
+    *consecutive* positions, hence distinct mod B — so the two B-wide halves
+    can be merged losslessly with one select keyed on c >= B-1-i.
+    """
+    block = band.shape[0]
+    return jnp.where(
+        col_index >= block - 1 - row_index, band[:, :block], band[:, block:]
+    )
+
+
+def _band_to_scores(band, row_index, col_index):
+    """Extracts rel[i, j] = band[i, B-1-i+j] from a (B, 2B) band tile.
+
+    Circular-fold formulation: fold to (B, B), circular-shear right by i,
+    then one static roll — half the sheared elements of the direct
+    (B, 2B) shear-and-slice (measured 1.64 us per (256, 512) f32 shear on
+    v5e; the shears were the dominant rel cost at head_dim 16).
+
+      fold:   U_f[i, c]  = band[i, c + B * (c < B-1-i)]
+      shear:  cs[i, c]   = U_f[i, (c - i) mod B]
+      roll:   rel[i, j]  = cs[i, (j - 1) mod B]  (= U_f[i, (B-1-i+j) mod B])
+    """
+    folded = _fold_band(band, row_index, col_index)
+    return pltpu.roll(_shear_rows(folded, 1), 1, axis=1)
+
+
+def _scores_grad_to_band(ds, row_index, col_index):
+    """Inverse of :func:`_band_to_scores`: scatters ds (B, B) back into the
+    (B, 2B) band layout (dband[i, B-1-i+j] = ds[i, j], zero elsewhere) via
+    the same circular-fold algebra run backwards."""
+    block = ds.shape[0]
+    d_cs = pltpu.roll(ds, block - 1, axis=1)  # undo the static roll
+    d_folded = _shear_rows(d_cs, -1)  # undo the circular shear
+    keep_lo = col_index >= block - 1 - row_index
+    zero = jnp.zeros_like(d_folded)
+    return jnp.concatenate(
+        [jnp.where(keep_lo, d_folded, zero), jnp.where(keep_lo, zero, d_folded)],
+        axis=1,
+    )
+
+
 def _diag_transpose(vec, axis: int):
     """Lane<->sublane transpose of a length-B vector via diag select+reduce.
 
@@ -150,26 +194,28 @@ def _tile_scores(q, k_tile, e_ref, ib, jb, *, block, window, scale, use_rel):
         preferred_element_type=jnp.float32,
     )  # (B, B)
 
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+
     e_chunk = None
     start = 0
     if use_rel:
-        # base = (ib - jb) * B; chunk start = W - B - base.
-        start = window - block - (ib - jb) * block
+        # base = (ib - jb) * B; chunk start = W - B - base. Mosaic cannot
+        # statically prove the offset's tile alignment for packed (bf16)
+        # sublane tiles, so assert it: every term is a multiple of block.
+        start = pl.multiple_of(window - block - (ib - jb) * block, block)
         e_chunk = e_ref[pl.ds(start, 2 * block), :]  # (2B, D)
         band = jax.lax.dot_general(
             q, e_chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (B, 2B)
-        band = _shear_rows(band, 1)
-        scores = scores + band[:, block - 1 : 2 * block - 1]
+        scores = scores + _band_to_scores(band, rows, cols)
 
     scores = scores * scale
 
     # Causal mask inside the diagonal block (off-diagonal blocks are fully
     # valid by construction of the loop bounds).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
     masked = jnp.where(rows >= cols, scores, NEG_INF)
     scores = jnp.where(jb == ib, masked, scores)
     return scores, e_chunk, start
@@ -309,11 +355,13 @@ def _flash_bwd_kernel(
         )  # (Bi, D) f32
 
         if use_rel:
-            # Put ds back in band layout: column B-1+j holds ds[:, j], then
-            # roll row i left by i -> dband[i, m] with m = B-1-i+j.
-            # (Mosaic's dynamic_rotate is 32-bit only: shear in f32.)
-            ds_band = jnp.pad(ds, ((0, 0), (block - 1, 1)))
-            dband = _shear_rows(ds_band, -1).astype(k_tile.dtype)
+            # Put ds back in band layout (dband[i, B-1-i+j] = ds[i, j]) via
+            # the circular fold: half the sheared elements of the padded
+            # (B, 2B) left-shear. (Mosaic's dynamic_rotate is 32-bit only:
+            # shear in f32, then cast.)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+            dband = _scores_grad_to_band(ds, rows, cols).astype(k_tile.dtype)
             dq_update = dq_update + scale * jax.lax.dot_general(
                 dband, e_chunk.astype(dband.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -553,12 +601,16 @@ def relative_flash_attention(
         if seq_len > window:
             raise ValueError(f"sequence {seq_len} exceeds relative window {window}")
         # Pad with `block` trailing zero rows so every chunk slice is in-bounds.
+        # Match q's dtype: a bf16 q against an f32 table forces every band
+        # matmul (forward + the backward's recompute) onto the slow mixed-f32
+        # MXU path; in bf16 they run at full rate. The in-kernel dE
+        # accumulator stays f32 regardless (see _flash_bwd_rule's out_shape).
         e_padded = jnp.pad(rel_embedding, ((0, 0), (0, block), (0, 0))).astype(
-            jnp.float32
+            q.dtype
         )
     else:
         window = block
-        e_padded = jnp.zeros((heads, 2 * block, depth), dtype=jnp.float32)
+        e_padded = jnp.zeros((heads, 2 * block, depth), dtype=q.dtype)
 
     softmax_scale = float(true_depth) ** -0.5 if scale else 1.0
 
