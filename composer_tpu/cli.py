@@ -91,9 +91,12 @@ def get_dataset(
     shuffle_files=True,
     shuffle_dataset=True,
     num_workers=8,
+    use_generator=False,
 ):
     """Resolves a dataset path (directory of .data files or a .tfrecord file)
-    into a batch iterable (parity: cli.py:185-276)."""
+    into a batch iterable (parity: cli.py:185-276). ``use_generator`` selects
+    the memory-bounded streaming path (reference models/__init__.py:147-158):
+    ids are packed once into a disk cache and batches stream back per step."""
     from composer_tpu.data import loader, preprocess, tfrecord
 
     if mode not in ("train", "test", ""):
@@ -129,6 +132,7 @@ def get_dataset(
             # disjoint window shard for the data-parallel mesh axis.
             shard_count=jax.process_count(),
             shard_index=jax.process_index(),
+            streaming=use_generator,
         )
 
     if not dataset_path.is_file() or dataset_path.suffix != ".tfrecord":
@@ -242,7 +246,8 @@ def preprocess(model_type, dataset_path, output_directory, num_workers, config_f
 @click.option("-c", "--config", "config_filepath", default=None,
               help="The path to the model configuration file. If unspecified, uses the default config.")
 @click.option("--use-generator/--no-use-generator", "use_generator", default=False,
-              help="Accepted for reference-CLI compatibility (no effect).")
+              help="Stream batches from a disk-backed packed cache "
+                   "(memory-bounded; same batches as the in-memory path).")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
 def export_dataset(model_type, preprocessed_path, output_path, config_filepath,
@@ -253,7 +258,7 @@ def export_dataset(model_type, preprocessed_path, output_path, config_filepath,
     config = config_module.get(config_filepath or get_default_config())
     dataset = get_dataset(
         model_type, preprocessed_path, config,
-        shuffle_dataset=False, max_files=max_files,
+        shuffle_dataset=False, max_files=max_files, use_generator=use_generator,
     )
     logging.info("Writing dataset to TFRecord. This may take a while...")
     tfrecord.export_dataset(dataset, model_type.value, output_path)
@@ -384,8 +389,8 @@ def _make_trainer(model_type, config, mesh=None):
               help="The path to the model configuration file. Ignored when --restoredir is given.")
 @click.option("-e", "--epochs", default=10, help="The number of epochs to train for. Defaults to 10.")
 @click.option("--use-generator/--no-use-generator", "use_generator", default=False,
-              help="Accepted for reference-CLI compatibility; datasets are always "
-                   "loaded as packed arrays here.")
+              help="Stream batches from a disk-backed packed cache "
+                   "(memory-bounded; same batches as the in-memory path).")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
 @click.option("--save-freq-mode", "save_frequency_mode", type=EnumType(ModelSaveFrequencyMode, False),
@@ -457,7 +462,10 @@ def train(model_type, dataset_path, logdir, restoredir, config_filepath, epochs,
     else:
         state = trainer.init_state(batch, window)
 
-    dataset = get_dataset(model_type, dataset_path, config, "train", max_files=max_files)
+    dataset = get_dataset(
+        model_type, dataset_path, config, "train",
+        max_files=max_files, use_generator=use_generator,
+    )
     trainer.train(
         dataset, state, model_logdir, epochs=epochs,
         save_frequency_mode=save_frequency_mode, save_frequency=save_frequency,
@@ -510,7 +518,8 @@ def import_checkpoint(model_type, checkpoint_dir, output_logdir, config_filepath
 @click.argument("dataset-path")
 @click.argument("restoredir")
 @click.option("--use-generator/--no-use-generator", "use_generator", default=False,
-              help="Accepted for reference-CLI compatibility (no effect).")
+              help="Stream batches from a disk-backed packed cache "
+                   "(memory-bounded; same batches as the in-memory path).")
 @click.option("--max-files", default=None, type=int,
               help="The maximum number of files to load. Defaults to all files.")
 def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
@@ -522,7 +531,7 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
     )
     dataset = get_dataset(
         model_type, dataset_path, config, "test",
-        max_files=max_files, shuffle_dataset=False,
+        max_files=max_files, shuffle_dataset=False, use_generator=use_generator,
     )
     metrics = trainer.evaluate(dataset, state)
     logging.info(
