@@ -20,9 +20,13 @@ Layout:
   token feedback a loop-carried replicated one-hot (B*R, Vpad); ln_2/ln_f
                 are folded into the adjacent weights at pack time
 
-The prompt is consumed teacher-forced like the single-sequence kernel; every
-sequence must have the same prompt length (CLI generation pads by prompt
-truncation upstream).
+The prompt is consumed teacher-forced like the single-sequence kernel.
+Prompt lengths may be RAGGED (per-row ``prompt_lengths``): each row switches
+from teacher-forcing to self-feeding at its own boundary, and its generated
+tokens land at output columns [0, length) regardless of prompt length — so
+the serving coalescer batches requests with different prompt lengths into
+one kernel call (all rows share absolute positions: every row starts at
+position 0 and rows only differ in when they stop being forced).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -93,7 +98,7 @@ def _decode_stages(cache_len: int, num_steps: int):
 
 
 def _batched_kernel(
-    prompt_ref, seed_ref, temp_ref, topk_ref, topp_ref,
+    prompt_ref, plen_ref, seed_ref, temp_ref, topk_ref, topp_ref,
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
@@ -107,8 +112,17 @@ def _batched_kernel(
     use_k: bool = False, use_p: bool = False,
 ):
     B, R, E, C = batch, num_heads, embed_dim, cache_len
-    prompt_len = prompt_ref.shape[1]
-    out_len = num_steps - prompt_len + 1
+    out_len = tokens_ref.shape[1]
+
+    # Per-row prompt lengths (ragged prompts): row s consumes prompt tokens
+    # teacher-forced while i < plen[s] and self-feeds after, so the serving
+    # coalescer can batch requests with different prompt lengths. Row s's
+    # generated tokens land at output columns 0, 1, ... regardless of its
+    # prompt length (the per-row output column is i - plen[s] + 1).
+    plen_col = jnp.concatenate(
+        [jnp.full((1, 1), plen_ref[s], jnp.int32) for s in range(batch)],
+        axis=0,
+    )  # (B, 1)
 
     if not greedy:
         pltpu.prng_seed(seed_ref[0])
@@ -169,11 +183,15 @@ def _batched_kernel(
 
     def prompt_onehots(i):
         # Per-sequence one-hots from SMEM scalars (row-group by row-group:
-        # packing SMEM reads into a vector is not reliably lowerable).
-        index = jnp.minimum(i, prompt_len - 1)
+        # packing SMEM reads into a vector is not reliably lowerable). Each
+        # row clamps to ITS final prompt token; rows already generating
+        # ignore the result (the carry select below keys on plen per row).
         return jnp.concatenate(
             [
-                (vocab_cols_r == prompt_ref[s, index]).astype(wte_ref.dtype)
+                (
+                    vocab_cols_r
+                    == prompt_ref[s, jnp.minimum(i, plen_ref[s] - 1)]
+                ).astype(wte_ref.dtype)
                 for s in range(B)
             ],
             axis=0,
@@ -361,13 +379,14 @@ def _batched_kernel(
             )  # (B, 1) int32
 
             tokens_ref[:] = jnp.where(
-                out_cols == i - (prompt_len - 1), next_index, tokens_ref[:]
+                out_cols == i - (plen_col - 1), next_index, tokens_ref[:]
             )
             sampled_onehot = (
                 expand(jnp.broadcast_to(next_index, (B, vocab_pad)))
                 == jax.lax.broadcasted_iota(jnp.int32, (B * R, vocab_pad), 1)
             ).astype(onehot.dtype)
-            return jnp.where(i + 1 < prompt_len, prompt_onehots(i + 1), sampled_onehot)
+            in_prefill = expand((i + 1 < plen_col).astype(jnp.int32)) != 0
+            return jnp.where(in_prefill, prompt_onehots(i + 1), sampled_onehot)
 
         return step
 
@@ -382,12 +401,13 @@ def _batched_kernel(
     jax.jit,
     static_argnames=(
         "config", "length", "cache_len", "interpret", "greedy", "use_k", "use_p",
+        "ragged",
     ),
 )
 def _batched_impl(
-    packed, prompts, seed, temperature, top_k, top_p,
+    packed, prompts, plens, seed, temperature, top_k, top_p,
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
-    use_k: bool = False, use_p: bool = False,
+    use_k: bool = False, use_p: bool = False, ragged: bool = False,
 ):
     E = config.embed_dim
     # Lane-stacked KV needs 128-aligned per-sequence lane slices.
@@ -396,6 +416,11 @@ def _batched_impl(
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
     num_steps = prompt_len + length - 1
+    # Ragged prompts: a row with prompt length p starts generating at step
+    # p-1, so the output buffer must span the worst case (p = 1). Sized
+    # statically — NOT from min(plens) — so one compiled program covers
+    # every prompt-length mix at a given (batch, width, length) shape.
+    out_len = num_steps if ragged else length
 
     if use_rel:
         # Leading zeros cover positions past the window; trailing zeros
@@ -450,6 +475,7 @@ def _batched_impl(
 
     scalars = (
         jnp.asarray(prompts, jnp.int32),
+        jnp.asarray(plens, jnp.int32),
         jnp.asarray([seed], jnp.int32),
         temps,
         topk_f,
@@ -465,7 +491,7 @@ def _batched_impl(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -482,23 +508,33 @@ def _batched_impl(
 
     tokens = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, num_steps - prompt_len + 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((batch, out_len), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*scalars, *tensor_inputs)
 
-    return tokens  # (batch, length)
+    # Every row's generation starts at column 0; ragged batches over-run
+    # shorter-prompt rows past `length`, which this trims.
+    return tokens[:, :length]  # (batch, length)
 
 
 def megakernel_generate_batched(
     packed, prompts, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
     top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
+    prompt_lengths=None,
 ):
     """Generates ``length`` tokens for each of B prompts in one kernel.
 
-    prompts: (B, P) int array, equal prompt lengths. Returns (B, length).
+    prompts: (B, P) int array. Prompt lengths may be RAGGED: pass
+    ``prompt_lengths`` (a concrete (B,) int vector, each in [1, P]) and rows
+    are teacher-forced only through their own prefix — the serving coalescer
+    batches requests with different prompt lengths into one kernel call.
+    Row s's ``length`` generated tokens always occupy output columns
+    [0, length) (the kernel's per-row output column is i - plen[s] + 1);
+    padding columns beyond plen[s] are never read.
+
     ``temperature``/``top_k``/``top_p`` are scalars or per-row (B,) vectors
     (the serving coalescer batches mixed-setting requests); rows with
     temperature <= 0 decode greedily inside a sampled batch. Pass the
@@ -509,11 +545,33 @@ def megakernel_generate_batched(
     prompts = jnp.asarray(prompts, jnp.int32)
     if prompts.shape[1] + length > cache_len:
         raise ValueError("prompt + length exceeds cache")
+    ragged = prompt_lengths is not None
+    if not ragged:
+        plens = np.full(prompts.shape[0], prompts.shape[1], np.int32)
+    else:
+        plens = (
+            prompt_lengths
+            if isinstance(prompt_lengths, jax.core.Tracer)
+            else np.asarray(prompt_lengths, np.int32).reshape(-1)
+        )
+        if plens.shape[0] != prompts.shape[0]:
+            raise ValueError(
+                f"prompt_lengths has {plens.shape[0]} rows for a batch of "
+                f"{prompts.shape[0]}"
+            )
+        if isinstance(plens, np.ndarray) and (
+            plens.min() < 1 or plens.max() > prompts.shape[1]
+        ):
+            raise ValueError(
+                f"prompt_lengths must lie in [1, {prompts.shape[1]}], got "
+                f"[{plens.min()}, {plens.max()}]"
+            )
     greedy, use_k, use_p = sampling_flags(
         temperature, top_k, top_p, greedy, use_k, use_p
     )
     return _batched_impl(
-        packed, prompts, seed, temperature, top_k, top_p,
+        packed, prompts, plens, seed, temperature, top_k, top_p,
         config=config, length=length, cache_len=cache_len,
         interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
+        ragged=ragged,
     )

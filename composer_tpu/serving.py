@@ -58,11 +58,6 @@ class _Request:
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
 
-    @property
-    def signature(self):
-        # Sampling params are per-row kernel operands, so only the shapes
-        # that pick the compiled program must match to coalesce.
-        return (int(self.prompt_ids.shape[0]), _pow2_ceil(self.length))
 
 
 def _pow2_ceil(n: int) -> int:
@@ -129,6 +124,21 @@ class GenerationService:
             self._seed += 1
             return self._seed
 
+    def _signature(self, request: _Request):
+        """Coalescing key: only shapes that pick a compiled program.
+
+        Transformers support RAGGED prompt lengths inside one batch (per-row
+        teacher-forcing boundaries in the decode kernels), so prompts
+        coalesce by power-of-two LENGTH BUCKET — a 63-event and a 64-event
+        prompt share a batch. Sampling params are per-row operands and never
+        split a batch. The RNN path has no ragged support, so it keys on the
+        exact prompt length.
+        """
+        prompt_len = int(request.prompt_ids.shape[0])
+        if self.model_type == ModelType.TRANSFORMER:
+            return (_pow2_ceil(prompt_len), _pow2_ceil(request.length))
+        return (prompt_len, _pow2_ceil(request.length))
+
     def _run(self):
         import time as time_module
 
@@ -138,6 +148,7 @@ class GenerationService:
                 return
             batch = [request]
             deferred = []
+            signature = self._signature(request)
             deadline = time_module.monotonic() + self.max_wait_s
             # Coalesce compatible requests until the batch fills or the
             # wait window closes; incompatible ones go back for later.
@@ -154,7 +165,7 @@ class GenerationService:
                         self._queue.put(item)
                     self._process(batch)
                     return
-                if nxt.signature == request.signature:
+                if self._signature(nxt) == signature:
                     batch.append(nxt)
                 else:
                     deferred.append(nxt)
@@ -169,9 +180,24 @@ class GenerationService:
             rows = len(batch)
             padded = _bucket(rows, self.max_batch_size)
             pad = padded - rows
-            prompts = np.stack(
-                [r.prompt_ids for r in batch] + [batch[-1].prompt_ids] * pad
+            # Prompts are RAGGED for transformers: rows pad to the bucket
+            # width and the per-row real lengths ride into the kernels as
+            # teacher-forcing boundaries (generate_ids prompt_lengths).
+            plens = np.asarray(
+                [r.prompt_ids.shape[0] for r in batch]
+                + [batch[-1].prompt_ids.shape[0]] * pad,
+                np.int32,
             )
+            width = (
+                _pow2_ceil(int(plens.max()))
+                if self.model_type == ModelType.TRANSFORMER
+                else int(plens.max())  # RNN batches have equal lengths
+            )
+            prompts = np.zeros((padded, width), np.int32)
+            for row, r in enumerate(batch):
+                prompts[row, : plens[row]] = r.prompt_ids
+            for row in range(rows, padded):
+                prompts[row, : plens[row]] = batch[-1].prompt_ids
             # Per-row sampling params (padding rows replicate the last
             # request's); the batch decodes to the shared length bucket and
             # each row is truncated to its requested length below.
@@ -185,16 +211,19 @@ class GenerationService:
             topps = np.asarray(
                 [r.top_p for r in batch] + [batch[-1].top_p] * pad, np.float32
             )
-            bucket_len = batch[0].signature[1]
-            prompt_len = prompts.shape[1]
+            bucket_len = self._signature(batch[0])[1]
             ids = generate_ids(
                 self.model, self.model_type, self.variables, prompts,
                 length=bucket_len, temperature=temps,
                 seed=self._next_seed(), top_k=topks, top_p=topps,
+                prompt_lengths=plens,
             )
             self.batch_sizes.append(rows)
+            # Row s's generated block starts right after the PADDED prompt
+            # columns; reassemble each response from its real prompt.
             for row, request in enumerate(batch):
-                request.result = np.asarray(ids[row])[: prompt_len + request.length]
+                generated = np.asarray(ids[row])[width : width + request.length]
+                request.result = np.concatenate([request.prompt_ids, generated])
                 request.done.set()
         except Exception as error:  # surface to every waiter, keep serving
             for request in batch:

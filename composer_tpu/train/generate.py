@@ -76,6 +76,64 @@ def _prefill(model, params, prompt, rng, cache_len: int, temperature,
     return cache, token
 
 
+def _ragged_transformer_generate(
+    model, params, prompt, plens, rng, length: int, cache_len: int,
+    temperature, top_k, top_p,
+):
+    """Ragged-prompt decode on the XLA scan path (CPU/fallback twin of the
+    batched kernel's per-row teacher-forcing).
+
+    Prefills through the shortest prompt, then scans one token at a time:
+    each row's next input is its own prompt token while the step is inside
+    its prefix and its previous sample after. Row s's ``length`` generated
+    ids are gathered from the per-step sample stack at offset
+    plens[s] - min(plens).
+    """
+    batch, width = prompt.shape
+    plens = np.asarray(plens, np.int32).reshape(-1)
+    min_plen = int(plens.min())
+    if min_plen < 1 or plens.max() > width:
+        raise ValueError(
+            f"prompt_lengths must lie in [1, {width}], got "
+            f"[{plens.min()}, {plens.max()}]"
+        )
+    num_steps = width + length - 1
+
+    rng, prefill_rng = jax.random.split(rng)
+    cache, token = _prefill(
+        model, params, prompt[:, :min_plen], prefill_rng, cache_len,
+        temperature, top_k, top_p,
+    )
+    plens_col = jnp.asarray(plens)
+
+    @partial(jax.jit, static_argnames=("steps", "start"))
+    def ragged_scan(cache, token, rng, prompt, steps: int, start: int):
+        def step(carry, offset):
+            cache, token, rng = carry
+            position = start + offset  # next input's position
+            forced = prompt[jnp.arange(batch), jnp.minimum(position, width - 1)]
+            token = jnp.where(position < plens_col, forced, token)
+            logits, cache = model.apply({"params": params}, token[:, None], cache)
+            rng, sample_rng = jax.random.split(rng)
+            sampled = sample_filtered_rows(
+                sample_rng, logits[:, 0], temperature, top_k, top_p
+            )
+            return (cache, sampled, rng), sampled
+
+        (cache, token, rng), samples = jax.lax.scan(
+            step, (cache, token, rng), jnp.arange(steps)
+        )
+        return cache, token, rng, samples.transpose(1, 0)
+
+    steps = num_steps - min_plen
+    _, _, _, samples = ragged_scan(cache, token, rng, prompt, steps, min_plen)
+    # Sample t (prefill sample = t 0) follows position min_plen - 1 + t;
+    # row s's generation starts at t = plens[s] - min_plen.
+    stack = jnp.concatenate([token[:, None], samples], axis=1)
+    gather = (plens_col - min_plen)[:, None] + jnp.arange(length)[None, :]
+    return jnp.take_along_axis(stack, gather, axis=1)
+
+
 def _transformer_generate(
     model, params, prompt, rng, length: int, cache_len: int, temperature,
     top_k, top_p,
@@ -235,8 +293,8 @@ class TransformerDecoder:
         self.params = params
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
-        def pipeline(packed, prompt, seed, temps, topks, topps,
-                     cache_len, length, greedy, use_k, use_p):
+        def pipeline(packed, prompt, plens, seed, temps, topks, topps,
+                     cache_len, length, greedy, use_k, use_p, ragged):
             # ONE device program per generate call: the kernel consumes the
             # prompt teacher-forced and samples every new token itself — no
             # external prefill or cache transform (per-dispatch latency over
@@ -247,6 +305,8 @@ class TransformerDecoder:
                 megakernel_generate_batched,
             )
             if prompt.shape[0] == 1:
+                # Batch 1 is never ragged: generate() trims the concrete
+                # prompt row to its real length before dispatch.
                 tokens = decode_kernel.megakernel_generate(
                     packed, prompt[0], seed, temps,
                     config=model.config, length=length, cache_len=cache_len,
@@ -259,6 +319,7 @@ class TransformerDecoder:
                 config=model.config, length=length, cache_len=cache_len,
                 top_k=topks, top_p=topps,
                 greedy=greedy, use_k=use_k, use_p=use_p,
+                prompt_lengths=plens if ragged else None,
             )
 
         # Sampling params are traced (B,) vectors — one compiled program
@@ -267,11 +328,13 @@ class TransformerDecoder:
         # requests does not recompile.
         self._pipeline = jax.jit(
             pipeline,
-            static_argnames=("cache_len", "length", "greedy", "use_k", "use_p"),
+            static_argnames=(
+                "cache_len", "length", "greedy", "use_k", "use_p", "ragged",
+            ),
         )
 
     def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None,
-                 top_k=0, top_p=0.0):
+                 top_k=0, top_p=0.0, prompt_lengths=None):
         from composer_tpu.ops.decode_kernel import sampling_flags
 
         prompt = jnp.asarray(prompt, jnp.int32)
@@ -283,6 +346,17 @@ class TransformerDecoder:
         temps, topks, topps = _normalize_sampling(
             prompt.shape[0], temperature, top_k, top_p
         )
+        # Ragged prompts: concrete per-row lengths select each row's
+        # teacher-forcing boundary inside the batched kernel.
+        if prompt_lengths is None:
+            plens = np.full(prompt.shape[0], prompt.shape[1], np.int32)
+        else:
+            plens = np.asarray(prompt_lengths, np.int32).reshape(-1)
+            if prompt.shape[0] == 1:
+                # Batch 1 runs the single-sequence kernel: trim the padding
+                # off the one row instead of threading raggedness through.
+                prompt = prompt[:, : int(plens[0])]
+                plens = np.full(1, prompt.shape[1], np.int32)
 
         # Batches beyond what one kernel's VMEM holds run as sequential
         # fused dispatches (async dispatch pipelines the link round-trips).
@@ -306,12 +380,13 @@ class TransformerDecoder:
             tc = temps[start : start + chunk]
             kc = topks[start : start + chunk]
             pc = topps[start : start + chunk]
+            lc = plens[start : start + chunk]
             greedy, use_k, use_p = sampling_flags(tc, kc, pc)
             outputs.append(
                 self._pipeline(
-                    self.packed, prompt[start : start + chunk],
+                    self.packed, prompt[start : start + chunk], lc,
                     chunk_seed, tc, kc, pc, cache_len, length,
-                    greedy, use_k, use_p,
+                    greedy, use_k, use_p, bool((lc != prompt.shape[1]).any()),
                 )
             )
         return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)
@@ -321,7 +396,7 @@ _ENGINE_CACHE = {}
 
 
 def _megakernel_generate(model, params, prompt, length, temperature, seed,
-                         cache_len, top_k=0, top_p=0.0):
+                         cache_len, top_k=0, top_p=0.0, prompt_lengths=None):
     key = (id(model), id(params))
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
@@ -331,6 +406,7 @@ def _megakernel_generate(model, params, prompt, length, temperature, seed,
     return engine.generate(
         prompt, length, temperature=temperature, seed=seed,
         cache_len=max(cache_len, 128), top_k=top_k, top_p=top_p,
+        prompt_lengths=prompt_lengths,
     )
 
 
@@ -355,11 +431,20 @@ def generate_ids(
     engine: str = "auto",
     top_k: int = 0,
     top_p: float = 0.0,
+    prompt_lengths=None,
 ) -> np.ndarray:
     """Generates ``length`` new event ids after ``prompt_ids``.
 
     prompt_ids: int array [batch, prompt_len] (or [prompt_len]).
     Returns [batch, prompt_len + length] including the prompt.
+
+    ``prompt_lengths`` (transformers only): a per-row (batch,) int vector of
+    REAL prompt lengths when rows are padded to a common width — row s is
+    teacher-forced only through its own prefix, so the serving coalescer can
+    batch requests with different prompt lengths. The returned array still
+    leads with the full padded prompt block: row s's generated ids are
+    columns [prompt_len, prompt_len + length) regardless of its real length
+    (slice its real prompt from [0, prompt_lengths[s]) when reassembling).
 
     ``engine``: 'auto' (fused single-kernel decode on TPU for batch-1
     transformers, XLA scan otherwise), 'megakernel', or 'xla'.
@@ -388,6 +473,13 @@ def generate_ids(
     topks = np.where(topks > 0, topks, 0)
     topps = np.where((topps > 0.0) & (topps < 1.0), topps, 0.0).astype(np.float32)
 
+    if prompt_lengths is not None:
+        if model_type != ModelType.TRANSFORMER:
+            raise ValueError("prompt_lengths is only supported for transformers")
+        plens = np.asarray(prompt_lengths, np.int32).reshape(-1)
+        if np.all(plens == prompt.shape[1]):
+            prompt_lengths = None  # uniform: the fast fixed-length paths
+
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
@@ -397,6 +489,12 @@ def generate_ids(
             generated = _megakernel_generate(
                 model, params_or_variables, prompt, length,
                 temps, seed, cache_len, top_k=topks, top_p=topps,
+                prompt_lengths=prompt_lengths,
+            )
+        elif prompt_lengths is not None:
+            generated = _ragged_transformer_generate(
+                model, params_or_variables, prompt, plens, rng, length,
+                cache_len, *_warper_arrays(temps, topks, topps),
             )
         else:
             generated = _transformer_generate(

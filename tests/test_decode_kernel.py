@@ -226,9 +226,10 @@ def test_chunked_engine_splits_large_batches(setup):
 
     calls = []
 
-    def fake_pipeline(packed, prompt, seed, temps, topks, topps,
-                      cache_len, length, greedy, use_k, use_p):
+    def fake_pipeline(packed, prompt, plens, seed, temps, topks, topps,
+                      cache_len, length, greedy, use_k, use_p, ragged):
         calls.append((prompt.shape[0], int(seed)))
+        assert not ragged  # equal-width prompts take the fixed-length path
         # Tag outputs with the seed so ordering is checkable.
         return jnp.full((prompt.shape[0], length), seed, jnp.int32)
 
@@ -481,8 +482,9 @@ class TestInKernelSamplingFilters:
         engine = gen.TransformerDecoder(model, params, dtype=jnp.float32)
         seen = []
 
-        def fake_pipeline(packed, prompt, seed, temps, topks,
-                          topps, cache_len, length, greedy, use_k, use_p):
+        def fake_pipeline(packed, prompt, plens, seed, temps, topks,
+                          topps, cache_len, length, greedy, use_k, use_p,
+                          ragged):
             seen.append((topks, topps, greedy, use_k, use_p))
             return jnp.zeros((prompt.shape[0], length), jnp.int32)
 
@@ -494,3 +496,80 @@ class TestInKernelSamplingFilters:
         assert topks.tolist() == [12, 12]
         np.testing.assert_allclose(topps, 0.95)
         assert (greedy, use_k, use_p) == (False, True, True)
+
+
+@pytest.mark.parametrize("use_relative", [False, True])
+def test_batched_kernel_ragged_prompts_match_singles(use_relative):
+    """A heterogeneous-prompt-length batch is bit-equal to per-row singles.
+
+    Removes serving's equal-prompt-length coalescing restriction (VERDICT r2
+    item 2): each row teacher-forces through its own prefix and its greedy
+    generation must match an independent single-sequence kernel run on the
+    untrimmed prompt."""
+    from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+    config, model, params = _setup(use_relative)
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    length = 10
+    rng = np.random.default_rng(3)
+    plens = np.array([4, 1, 7, 3], np.int32)
+    prompts = rng.integers(0, 390, (4, int(plens.max()))).astype(np.int32)
+
+    batched = megakernel_generate_batched(
+        packed, prompts, 0, 0.0,
+        config=config, length=length, cache_len=128, interpret=True,
+        prompt_lengths=plens,
+    )
+
+    for row, plen in enumerate(plens):
+        single = dk.megakernel_generate(
+            packed, prompts[row, :plen], seed=0, temperature=0.0,
+            config=config, length=length, cache_len=128, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched)[row], np.asarray(single), err_msg=f"row {row}"
+        )
+
+
+def test_batched_kernel_ragged_per_row_sampling_params():
+    """Ragged prompts compose with per-row sampling params: greedy rows
+    (temperature 0) inside the ragged batch still match their singles."""
+    from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+    config, model, params = _setup(True)
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    plens = np.array([5, 2], np.int32)
+    prompts = np.array([[5, 100, 300, 17, 42], [9, 250, 0, 0, 0]], np.int32)
+    temps = np.array([0.0, 0.0], np.float32)
+    topks = np.array([0, 5], np.int32)
+
+    batched = megakernel_generate_batched(
+        packed, prompts, 0, temps,
+        config=config, length=8, cache_len=128, interpret=True,
+        top_k=topks, prompt_lengths=plens,
+    )
+    for row, plen in enumerate(plens):
+        single = dk.megakernel_generate(
+            packed, prompts[row, :plen], seed=0, temperature=0.0,
+            config=config, length=8, cache_len=128, interpret=True,
+            top_k=int(topks[row]),
+        )
+        np.testing.assert_array_equal(np.asarray(batched)[row], np.asarray(single))
+
+
+def test_batched_kernel_ragged_validation():
+    from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+
+    config, model, params = _setup(False)
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    prompts = np.zeros((2, 4), np.int32)
+    with pytest.raises(ValueError, match="prompt_lengths"):
+        megakernel_generate_batched(
+            packed, prompts, 0, 0.0, config=config, length=4, cache_len=128,
+            interpret=True, prompt_lengths=np.array([4, 5], np.int32),
+        )
+    with pytest.raises(ValueError, match="prompt_lengths"):
+        megakernel_generate_batched(
+            packed, prompts, 0, 0.0, config=config, length=4, cache_len=128,
+            interpret=True, prompt_lengths=np.array([4], np.int32),
+        )

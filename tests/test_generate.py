@@ -136,3 +136,60 @@ def test_megakernel_gate_rejects_norm_free_models():
     )
     model = Transformer(config)
     assert not _use_megakernel(model, ModelType.TRANSFORMER, 1, 128, "megakernel")
+
+
+def test_ragged_generate_ids_matches_singles_xla():
+    """generate_ids with prompt_lengths (XLA path): each row's greedy
+    generation equals an independent run on its trimmed prompt."""
+    model, params = _transformer()
+    rng = np.random.default_rng(11)
+    plens = np.array([3, 6, 1], np.int32)
+    width = int(plens.max())
+    prompts = rng.integers(0, VOCAB, (3, width)).astype(np.int32)
+    length = 7
+
+    out = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts,
+        length=length, temperature=0.0, seed=0, engine="xla",
+        prompt_lengths=plens,
+    )
+    assert out.shape == (3, width + length)
+    for row, plen in enumerate(plens):
+        single = generate_ids(
+            model, ModelType.TRANSFORMER, params, prompts[row : row + 1, :plen],
+            length=length, temperature=0.0, seed=0, engine="xla",
+        )
+        np.testing.assert_array_equal(
+            out[row, width:], np.asarray(single)[0, plen:], err_msg=f"row {row}"
+        )
+
+
+def test_ragged_uniform_lengths_take_fast_path():
+    """All-equal prompt_lengths must reduce to the fixed-length program."""
+    model, params = _transformer()
+    prompts = np.array([[5, 100, 300], [9, 42, 7]], np.int32)
+    ragged = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts,
+        length=5, temperature=0.0, seed=0, engine="xla",
+        prompt_lengths=np.array([3, 3], np.int32),
+    )
+    plain = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts,
+        length=5, temperature=0.0, seed=0, engine="xla",
+    )
+    np.testing.assert_array_equal(ragged, plain)
+
+
+def test_ragged_rejected_for_rnn():
+    config = MusicRNNConfig(
+        vocab_size=VOCAB, embed_dim=16, layer_sizes=(16,),
+        dropout_rates=(0.0,), use_batch_normalization=False,
+    )
+    model = MusicRNN(config)
+    variables = model.init_variables(jax.random.PRNGKey(0), 1, 8)
+    with pytest.raises(ValueError, match="transformers"):
+        generate_ids(
+            model, ModelType.MUSIC_RNN, variables,
+            np.array([[1, 2], [3, 4]], np.int32), length=4,
+            prompt_lengths=np.array([1, 2], np.int32),
+        )

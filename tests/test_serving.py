@@ -205,3 +205,44 @@ def test_mixed_sampling_settings_coalesce(server):
     assert results[0][1]["events"] == baseline
     # The length-3 request got its own length back (bucket decoded 4).
     assert len(results[2][1]["events"]) == 5  # 2 prompt + 3 generated
+
+
+def test_mixed_prompt_lengths_coalesce(server):
+    """Requests with DIFFERENT prompt lengths share a batch (ragged prompts:
+    per-row teacher-forcing boundaries in the decode kernels), and a greedy
+    request inside the mixed batch returns exactly its standalone result."""
+    http_server, service = server
+    # Warm the (prompt bucket 4, length bucket 4) program and take baselines.
+    base_a = _post(
+        http_server, {"events": [5, 6, 7], "length": 4, "temperature": 0.0}
+    )[1]["events"]
+    base_b = _post(
+        http_server, {"events": [9], "length": 4, "temperature": 0.0}
+    )[1]["events"]
+
+    before = len(service.batch_sizes)
+    payloads = [
+        {"events": [5, 6, 7], "length": 4, "temperature": 0.0},
+        {"events": [9], "length": 4, "temperature": 0.0},
+        {"events": [1, 2, 3, 4], "length": 4, "temperature": 0.0},
+    ]
+    results = [None] * len(payloads)
+
+    def call(i):
+        results[i] = _post(http_server, payloads[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(status == 200 for status, _ in results)
+    new_batches = service.batch_sizes[before:]
+    assert max(new_batches) >= 2, new_batches  # 3- and 1-event prompts shared
+    # Ragged batching is exact: greedy rows match their standalone runs.
+    assert results[0][1]["events"] == base_a
+    assert results[1][1]["events"] == base_b
+    # Responses lead with each request's own prompt.
+    assert results[2][1]["events"][:4] == [1, 2, 3, 4]
+    assert len(results[2][1]["events"]) == 8
