@@ -400,6 +400,113 @@ def run_serving_benchmark(
     }
 
 
+def run_poisson_serving_benchmark(
+    continuous: bool = True,
+    requests: int = 40,
+    mean_interarrival_ms: float = 40.0,
+    length: int = 256,
+    slots: int = 8,
+    seg_steps: int = 64,
+    dtype=None,
+    seed: int = 0,
+):
+    """Request latency under Poisson arrivals: run-to-completion batching vs
+    continuous batching (VERDICT r2 item 2's 'done' bench).
+
+    Clients arrive with exponential inter-arrival gaps and ragged prompt
+    lengths; each request's latency is completion - arrival. The
+    run-to-completion coalescer makes a late arrival wait out the in-flight
+    batch's whole generation; the continuous scheduler admits it at the next
+    segment boundary. Identical arrival schedule and request mix for both
+    modes (same seed).
+    """
+    import threading
+
+    from composer_tpu.models import ModelType
+    from composer_tpu.serving import ContinuousGenerationService, GenerationService
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    model = _default_transformer(False, dtype)
+    params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
+    cache_len = 1024
+    if continuous:
+        service = ContinuousGenerationService(
+            model, ModelType.TRANSFORMER, params, vocab_size=390,
+            slots=slots, seg_steps=seg_steps, cache_len=cache_len, seed=seed,
+        )
+    else:
+        service = GenerationService(
+            model, ModelType.TRANSFORMER, params, vocab_size=390,
+            max_batch_size=slots, seed=seed,
+        )
+
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(mean_interarrival_ms / 1000.0, requests)
+    plens = rng.integers(8, 65, requests)
+    prompts = [rng.integers(0, 390, p).astype(np.int32) for p in plens]
+
+    latencies = [0.0] * requests
+    errors = []
+
+    def client(index):
+        start = time.perf_counter()
+        try:
+            service.submit(prompts[index], length, temperature=0.8)
+        except Exception as error:  # pragma: no cover - surfaced below
+            errors.append((index, error))
+            raise
+        latencies[index] = time.perf_counter() - start
+
+    def warm_client(index):
+        service.submit(prompts[index], length, temperature=0.8)
+
+    def run_schedule(timed: bool):
+        target = client if timed else warm_client
+        threads = []
+        begin = time.perf_counter()
+        for index in range(requests):
+            time.sleep(gaps[index])
+            thread = threading.Thread(target=target, args=(index,))
+            thread.start()
+            threads.append(thread)
+        for thread in threads:
+            thread.join()
+        return time.perf_counter() - begin
+
+    try:
+        # Full untimed pass of the identical schedule first: the batch
+        # coalescer compiles one program per (prompt bucket x batch bucket x
+        # sampling structure) it encounters, and a compile measured inside
+        # the timed run would swamp the queueing behaviour under test.
+        run_schedule(timed=False)
+        elapsed = run_schedule(timed=True)
+    finally:
+        service.close()
+
+    lat = np.sort(np.asarray(latencies))
+    p50 = float(lat[int(0.50 * (requests - 1))])
+    p95 = float(lat[int(0.95 * (requests - 1))])
+    events_per_sec = requests * length / elapsed
+    return {
+        "metric": "poisson_serving_p95_seconds",
+        "value": round(p95, 4),
+        "unit": "s",
+        "vs_baseline": round(events_per_sec / DECODE_TARGET_EVENTS_PER_SEC, 3),
+        "detail": {
+            "mode": "continuous" if continuous else "run-to-completion",
+            "requests": requests, "length": length,
+            "mean_interarrival_ms": mean_interarrival_ms,
+            "p50_s": round(p50, 4), "p95_s": round(p95, 4),
+            "mean_s": round(float(lat.mean()), 4),
+            "events_per_sec": round(events_per_sec, 1),
+            "slots": slots, "seg_steps": seg_steps,
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_preprocess_benchmark(num_files: int = 24, num_workers: int = 1, seed: int = 0):
     """MIDI -> .data preprocessing throughput (BASELINE.md row 3)."""
     import tempfile

@@ -628,8 +628,18 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
               help="How long the batcher waits to fill a batch. Defaults to 20 ms.")
 @click.option("--default-length", default=1024,
               help="Generation length when a request omits 'length'. Defaults to 1024.")
+@click.option("--continuous/--no-continuous", default=False,
+              help="Continuous batching (transformers): requests join a "
+                   "running batch at segment boundaries instead of waiting "
+                   "for the current batch to finish.")
+@click.option("--seg-steps", default=64,
+              help="Continuous mode: decode steps per scheduling segment "
+                   "(admission/eviction granularity). Defaults to 64.")
+@click.option("--serve-cache-len", default=2048,
+              help="Continuous mode: per-slot KV capacity; bounds "
+                   "prompt + length per request. Defaults to 2048.")
 def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
-          default_length):
+          default_length, continuous, seg_steps, serve_cache_len):
     """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
 
     Restores the model once, keeps it resident on the device, and coalesces
@@ -637,8 +647,14 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
     scales near-linearly in the batch on TPU — BENCHMARKS.md). Request
     body: {"events": [...]} or {"midi_base64": "..."} plus optional
     length/temperature/top_k/top_p/prompt_length/return_midi.
+    With --continuous, a slot scheduler over the segmented decode kernel
+    admits/evicts requests at segment boundaries (docs/serving.md).
     """
-    from composer_tpu.serving import GenerationService, build_server
+    from composer_tpu.serving import (
+        ContinuousGenerationService,
+        GenerationService,
+        build_server,
+    )
 
     config = get_config_from_restoredir(restoredir)
     trainer = _make_trainer(model_type, config)
@@ -651,11 +667,18 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
         else {"params": state.params, **state.extra_vars}
     )
     vocab = vocabulary_from_config(config)
-    service = GenerationService(
-        trainer.model, model_type, variables, vocab.size,
-        max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
-        seed=get_seed(),
-    )
+    if continuous:
+        service = ContinuousGenerationService(
+            trainer.model, model_type, variables, vocab.size,
+            slots=max_batch_size, seg_steps=seg_steps,
+            cache_len=serve_cache_len, seed=get_seed(),
+        )
+    else:
+        service = GenerationService(
+            trainer.model, model_type, variables, vocab.size,
+            max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
+            seed=get_seed(),
+        )
     server = build_server(
         service, config, host=host, port=port, default_length=default_length,
     )

@@ -231,6 +231,238 @@ class GenerationService:
                 request.done.set()
 
 
+class ContinuousGenerationService:
+    """Continuous batching: requests join a RUNNING batch at segment
+    boundaries instead of waiting for the current batch to finish.
+
+    A slot scheduler drives ops/decode_kernel_segmented.py: the token loop
+    runs in fixed-step segments with the KV caches carried on-device between
+    calls; at every boundary finished rows are evicted (their responses
+    unblock immediately) and queued requests are admitted into free slots
+    with their own per-row position clocks. Two segments stay in flight
+    (dispatch k+1 before fetching k's tokens) so the device never idles on
+    the host link round-trip; admission therefore lags completions by one
+    segment — the evicted row's slot keeps sampling ignored tokens for one
+    segment, which is the price of hiding the RTT.
+
+    Same ``submit``/``close`` surface as :class:`GenerationService` so
+    ``build_server`` takes either. Transformers only (the segmented kernel
+    is the transformer decode path). Per-request seeds are not supported in
+    this mode: samples are drawn from (service seed, global step) so that a
+    row's stream is invariant to how the loop is segmented and to admission
+    timing of other rows (tests/test_decode_segmented.py).
+    """
+
+    def __init__(self, model, model_type: ModelType, variables,
+                 vocab_size: int, slots: int = 8, seg_steps: int = 64,
+                 cache_len: int = 2048, seed: int = 0,
+                 interpret: Optional[bool] = None, dtype=None):
+        if model_type != ModelType.TRANSFORMER:
+            raise InvalidParameterError(
+                "Continuous batching requires a transformer model."
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from composer_tpu.ops.decode_kernel import pack_weights
+        from composer_tpu.ops.decode_kernel_segmented import (
+            PARKED,
+            init_segment_state,
+        )
+        from composer_tpu.train.generate import _padded_cache_len
+
+        self.model = model
+        self.model_type = model_type
+        self.config = model.config
+        self.vocab_size = vocab_size
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        if interpret is None:
+            # Off-TPU the Mosaic kernel cannot compile; interpret mode keeps
+            # the scheduler exercisable (tests) at Python-loop speed.
+            interpret = jax.default_backend() != "tpu"
+        self.packed = pack_weights(variables, model.config, dtype=dtype)
+        self.slots = int(slots)
+        self.max_batch_size = self.slots  # the /v1/health contract
+        self.seg_steps = int(seg_steps)
+        self.cache_len = _padded_cache_len(cache_len)
+        self.width = min(model.config.window_size, self.cache_len)
+        self.interpret = interpret
+        self._seed = seed
+        self._parked = PARKED
+
+        self._state = init_segment_state(
+            self.packed, model.config, self.slots, self.cache_len
+        )
+        self._prompts = np.zeros((self.slots, self.width), np.int32)
+        self._plens = np.ones(self.slots, np.int32)
+        self._starts = np.full(self.slots, PARKED, np.int32)
+        self._temps = np.zeros(self.slots, np.float32)
+        self._topks = np.zeros(self.slots, np.int32)
+        self._topps = np.zeros(self.slots, np.float32)
+        self._requests: list[Optional[_Request]] = [None] * self.slots
+        self._collected: list[list[int]] = [[] for _ in range(self.slots)]
+        self._step = 0
+        self.batch_sizes = []  # active rows per segment, for observability
+
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker = threading.Thread(
+            target=self._run, name="continuous-generation-worker", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------------ public
+    def submit(self, prompt_ids, length: int, temperature: float = 1.0,
+               top_k: int = 0, top_p: float = 0.0) -> np.ndarray:
+        prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
+        if prompt.size == 0:
+            raise InvalidParameterError("Prompt must contain at least one event.")
+        if prompt.min() < 0 or prompt.max() >= self.vocab_size:
+            raise InvalidParameterError(
+                f"Prompt ids must be in [0, {self.vocab_size})."
+            )
+        if length <= 0:
+            raise InvalidParameterError("length must be positive.")
+        if prompt.size > self.width:
+            raise InvalidParameterError(
+                f"Prompt of {prompt.size} events exceeds the serving window "
+                f"({self.width})."
+            )
+        if prompt.size + length > self.cache_len:
+            raise InvalidParameterError(
+                f"prompt ({prompt.size}) + length ({length}) exceeds the "
+                f"serving cache ({self.cache_len})."
+            )
+        request = _Request(
+            prompt, int(length), float(temperature), int(top_k), float(top_p)
+        )
+        self._queue.put(request)
+        request.done.wait()
+        if request.error is not None:
+            raise request.error
+        return request.result
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=60)
+
+    # ------------------------------------------------------------------ worker
+    def _admit(self, request: _Request, slot: int):
+        self._requests[slot] = request
+        self._collected[slot] = []
+        plen = request.prompt_ids.shape[0]
+        self._prompts[slot, :] = 0
+        self._prompts[slot, :plen] = request.prompt_ids
+        self._plens[slot] = plen
+        self._starts[slot] = self._step
+        self._temps[slot] = request.temperature
+        self._topks[slot] = request.top_k
+        self._topps[slot] = request.top_p
+
+    def _evict(self, slot: int):
+        self._requests[slot] = None
+        self._collected[slot] = []
+        self._starts[slot] = self._parked
+        self._temps[slot] = 0.0
+        self._topks[slot] = 0
+        self._topps[slot] = 0.0
+
+    def _dispatch(self):
+        """Queues one segment on the device; returns (step0, starts, plens,
+        tokens_future) — tokens are fetched later so dispatches pipeline."""
+        from composer_tpu.ops.decode_kernel_segmented import decode_segment
+
+        active = self._starts != self._parked
+        greedy = not bool((self._temps[active] > 0).any())
+        use_k = bool((self._topks[active] > 0).any())
+        use_p = bool(
+            ((self._topps[active] > 0) & (self._topps[active] < 1)).any()
+        )
+        kbuf, vbuf, carry = self._state
+        tokens, kbuf, vbuf, carry = decode_segment(
+            self.packed, kbuf, vbuf, carry,
+            self._prompts, self._plens.copy(), self._starts.copy(),
+            self._step, self._seed, self._temps.copy(), self._topks.copy(),
+            self._topps.copy(),
+            config=self.config, steps=self.seg_steps,
+            cache_len=self.cache_len, live=self.cache_len,
+            interpret=self.interpret, greedy=greedy,
+            use_k=use_k, use_p=use_p,
+        )
+        self._state = (kbuf, vbuf, carry)
+        snapshot = (self._step, self._starts.copy(), self._plens.copy(),
+                    list(self._requests), tokens)
+        self.batch_sizes.append(int(active.sum()))
+        self._step += self.seg_steps
+        return snapshot
+
+    def _harvest(self, snapshot):
+        """Fetches a dispatched segment's tokens and completes any rows whose
+        generations finished inside it."""
+        step0, starts, plens, requests, tokens = snapshot
+        tokens = np.asarray(tokens)  # blocks on the device
+        for slot, request in enumerate(requests):
+            if request is None or self._requests[slot] is not request:
+                continue
+            # Row emits generation at global steps >= starts+plen-1.
+            first = int(starts[slot]) + int(plens[slot]) - 1
+            lo = max(first - step0, 0)
+            collected = self._collected[slot]
+            need = request.length - len(collected)
+            if need > 0 and lo < tokens.shape[1]:
+                take = tokens[slot, lo : lo + need]
+                collected.extend(int(t) for t in take)
+            if len(collected) >= request.length:
+                request.result = np.concatenate(
+                    [request.prompt_ids,
+                     np.asarray(collected[: request.length], np.int32)]
+                )
+                request.done.set()
+                self._evict(slot)
+
+    def _run(self):
+        inflight = []
+        closing = False
+        while True:
+            # Admit queued requests into free slots (blocks when idle).
+            while not closing:
+                free = [s for s in range(self.slots) if self._requests[s] is None]
+                if not free:
+                    break
+                block = not inflight and all(r is None for r in self._requests)
+                try:
+                    nxt = self._queue.get(block=block, timeout=None)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    closing = True
+                    break
+                self._admit(nxt, free[0])
+
+            if all(r is None for r in self._requests):
+                # Nothing active: drop any still-queued segments (their rows
+                # all completed) and go back to blocking on the queue.
+                inflight.clear()
+                if closing:
+                    return
+                continue
+
+            try:
+                inflight.append(self._dispatch())
+                # Keep two segments in flight; harvest the oldest.
+                if len(inflight) > 1:
+                    self._harvest(inflight.pop(0))
+            except Exception as error:  # surface to every active waiter
+                for slot, request in enumerate(self._requests):
+                    if request is not None:
+                        request.error = error
+                        request.done.set()
+                        self._evict(slot)
+                inflight.clear()
+
+
 # ---------------------------------------------------------------------- codec
 def _prompt_from_json(body, config, prompt_length: Optional[int]):
     """Returns prompt ids from an ``events`` list or ``midi_base64`` field."""

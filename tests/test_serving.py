@@ -246,3 +246,114 @@ def test_mixed_prompt_lengths_coalesce(server):
     # Responses lead with each request's own prompt.
     assert results[2][1]["events"][:4] == [1, 2, 3, 4]
     assert len(results[2][1]["events"]) == 8
+
+
+@pytest.fixture(scope="module")
+def continuous_service():
+    import jax
+
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=3, seg_steps=4, cache_len=128,
+    )
+    yield model, params, service
+    service.close()
+
+
+def test_continuous_single_request_matches_batch_engine(continuous_service):
+    """A lone greedy request through the continuous scheduler returns exactly
+    the whole-generation engine's tokens."""
+    from composer_tpu.train.generate import generate_ids
+
+    model, params, service = continuous_service
+    prompt = [5, 100, 300, 17]
+    out = service.submit(prompt, length=6, temperature=0.0)
+    expected = generate_ids(
+        model, ModelType.TRANSFORMER, params, np.asarray(prompt, np.int32),
+        length=6, temperature=0.0, seed=0, engine="xla",
+    )
+    np.testing.assert_array_equal(out, np.asarray(expected))
+
+
+def test_continuous_concurrent_mixed_lengths(continuous_service):
+    """Concurrent requests with different prompt lengths and lengths all
+    complete correctly through shared slots."""
+    model, params, service = continuous_service
+    payloads = [
+        ([5, 100, 300, 17], 6),
+        ([9], 9),
+        ([1, 2, 3], 4),
+        ([7, 8], 5),  # 4 requests > 3 slots: one must wait for an eviction
+    ]
+    results = [None] * len(payloads)
+
+    def call(i):
+        prompt, length = payloads[i]
+        results[i] = service.submit(prompt, length, temperature=0.0)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    from composer_tpu.train.generate import generate_ids
+
+    for (prompt, length), result in zip(payloads, results):
+        expected = generate_ids(
+            model, ModelType.TRANSFORMER, params,
+            np.asarray(prompt, np.int32), length=length, temperature=0.0,
+            seed=0, engine="xla",
+        )
+        np.testing.assert_array_equal(result, np.asarray(expected))
+
+
+def test_continuous_behind_http(continuous_service):
+    """build_server takes the continuous service: health + generate both work
+    (health once read service.max_batch_size, which only the run-to-completion
+    engine defined — empty replies from a live server)."""
+    model, params, service = continuous_service
+    config = config_lib.get_default()
+    http_server = build_server(service, config, port=0, default_length=4)
+    thread = threading.Thread(target=http_server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_server.server_port}/v1/health", timeout=30
+        ) as response:
+            body = json.loads(response.read())
+        assert body["status"] == "ok"
+        assert body["max_batch_size"] == service.slots
+
+        status, body = _post(http_server, {"events": [5, 6], "length": 3,
+                                           "temperature": 0.0})
+        assert status == 200
+        assert body["events"][:2] == [5, 6]
+        assert len(body["events"]) == 5
+    finally:
+        http_server.shutdown()
+        http_server.server_close()
+
+
+def test_continuous_rejects_oversize_and_bad_requests(continuous_service):
+    from composer_tpu.exceptions import InvalidParameterError
+
+    _, _, service = continuous_service
+    with pytest.raises(InvalidParameterError):
+        service.submit([], 4)
+    with pytest.raises(InvalidParameterError):
+        service.submit([1, 2], 0)
+    with pytest.raises(InvalidParameterError):
+        service.submit([1] * (WINDOW + 1), 4)
+    with pytest.raises(InvalidParameterError):
+        service.submit([1, 2], 100_000)
+    with pytest.raises(InvalidParameterError):
+        service.submit([VOCAB + 1], 4)
