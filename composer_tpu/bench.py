@@ -85,6 +85,67 @@ def _device_seconds_per_call(call, calls: int = 3):
     return total / 1e6 / calls
 
 
+# Chip peaks for the roofline column (achieved TFLOP/s and % of peak per
+# train row — VERDICT r2 item 6). Keyed on jax device_kind. bf16 MXU peak
+# per chip; HBM bandwidth for judging memory-bound rows.
+_CHIP_PEAKS = {
+    "TPU v5 lite": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},   # v5e
+    "TPU v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
+    "TPU v5": {"bf16_tflops": 459.0, "hbm_gbps": 2765.0},       # v5p
+    "TPU v6 lite": {"bf16_tflops": 918.0, "hbm_gbps": 1640.0},  # v6e
+}
+
+
+def _chip_peaks():
+    if jax.default_backend() != "tpu":
+        return None
+    return _CHIP_PEAKS.get(jax.devices()[0].device_kind)
+
+
+def _transformer_train_tflops(batch_size, window_size, embed_dim, num_heads,
+                              num_layers, vocab_size=390, relative=True,
+                              ffw_mult=4):
+    """Matmul TFLOPs one training step actually issues to the MXU.
+
+    Counts what the dense band/flash paths execute — full S x S attention
+    matmuls (causal masking discards half the products but the MXU still
+    computes them; flash skips fully-masked j>i tiles but revisits tiles in
+    its merged backward, so full-S^2 stays the honest common count) — with
+    the standard backward = 2 x forward convention. Relative attention adds
+    the Q @ E^T band term, a third S^2-by-depth matmul per head.
+    """
+    tokens = batch_size * window_size
+    # Per-token fwd: QKV+output projections (4 x 2E^2) + MLP (2 x 2E*4E).
+    proj = num_layers * (8 + 4 * ffw_mult) * embed_dim ** 2
+    # Attention scores + AV (+ rel bias): 2/3 matmuls of 2*S*E per token.
+    attn = num_layers * (6 if relative else 4) * window_size * embed_dim
+    logits = 2 * embed_dim * vocab_size  # tied-wte readout
+    fwd = tokens * (proj + attn + logits)
+    return 3 * fwd / 1e12  # fwd + 2x bwd
+
+
+def _rnn_train_tflops(batch_size, window_size, embed_dim=256,
+                      layer_sizes=(512, 512, 512), vocab_size=390):
+    """Matmul TFLOPs per MusicRNN training step (4 gates per LSTM layer)."""
+    tokens = batch_size * window_size
+    flops, fan_in = 0, embed_dim
+    for size in layer_sizes:
+        flops += 8 * size * (fan_in + size)  # 2 * 4H * (I + H)
+        fan_in = size
+    flops += 2 * fan_in * vocab_size
+    return 3 * tokens * flops / 1e12
+
+
+def _roofline(tflops_per_step, elapsed_seconds):
+    """Achieved TFLOP/s (+ % of chip bf16 peak when known)."""
+    achieved = tflops_per_step / elapsed_seconds
+    out = {"tflops_per_sec": round(achieved, 2)}
+    peaks = _chip_peaks()
+    if peaks:
+        out["pct_peak_bf16"] = round(100 * achieved / peaks["bf16_tflops"], 1)
+    return out
+
+
 def _default_transformer(use_relative_attention: bool, dtype):
     from composer_tpu.models.transformer import Transformer, TransformerConfig
 
@@ -198,6 +259,7 @@ def run_batched_decode_benchmark(
     repeats: int = 2,
     seed: int = 0,
     engine: str = "auto",
+    use_relative_attention: bool = False,
 ):
     """Batched prompted continuation (BASELINE.md row 2). On TPU the auto
     engine serves the batch as sequential VMEM-resident fused-kernel chunks
@@ -209,7 +271,7 @@ def run_batched_decode_benchmark(
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    model = _default_transformer(False, dtype)
+    model = _default_transformer(use_relative_attention, dtype)
     params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, 390, (batch_size, prompt_length)).astype(np.int32)
@@ -236,6 +298,7 @@ def run_batched_decode_benchmark(
         "vs_baseline": round(events_per_sec / DECODE_TARGET_EVENTS_PER_SEC, 3),
         "detail": {
             "batch_size": batch_size, "length": length, "engine": engine,
+            "relative_attention": use_relative_attention,
             "seconds": round(best, 3), "backend": jax.default_backend(),
         },
     }
@@ -313,6 +376,7 @@ def run_serving_benchmark(
     dtype=None,
     seed: int = 0,
     mixed_sampling: bool = False,
+    use_relative_attention: bool = False,
 ):
     """Coalesced serving throughput (the `composer serve` data plane).
 
@@ -337,7 +401,7 @@ def run_serving_benchmark(
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    model = _default_transformer(False, dtype)
+    model = _default_transformer(use_relative_attention, dtype)
     params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
     service = GenerationService(
         model, ModelType.TRANSFORMER, params, vocab_size=390,
@@ -395,6 +459,7 @@ def run_serving_benchmark(
             "max_batch_size": max_batch_size, "seconds": round(elapsed, 3),
             "coalesced_batches": timed_batches,
             "mixed_sampling": mixed_sampling,
+            "relative_attention": use_relative_attention,
             "backend": jax.default_backend(),
         },
     }
@@ -634,6 +699,10 @@ def run_train_benchmark(
     elapsed = (time.perf_counter() - start) / steps
 
     tokens_per_sec = batch_size * window_size / elapsed
+    step_tflops = _transformer_train_tflops(
+        batch_size, window_size, embed_dim, num_heads, num_layers,
+        relative=use_relative_attention,
+    )
     return {
         "metric": "train_step_seconds",
         "value": round(elapsed, 4),
@@ -649,6 +718,7 @@ def run_train_benchmark(
                 "chunked" if attention_chunk_size else "band"
             ),
             "tokens_per_sec": round(tokens_per_sec, 1),
+            **_roofline(step_tflops, elapsed),
             "backend": jax.default_backend(),
         },
     }
@@ -687,6 +757,7 @@ def run_rnn_train_benchmark(batch_size: int = 64, window_size: int = 200, steps:
         "detail": {
             "batch_size": batch_size, "window_size": window_size,
             "tokens_per_sec": round(tokens_per_sec, 1),
+            **_roofline(_rnn_train_tflops(batch_size, window_size), elapsed),
             "backend": jax.default_backend(),
         },
     }
@@ -714,13 +785,45 @@ def run_all(write_markdown=True):
             lambda: run_decode_benchmark(batch_size=8, length=1014),
         ),
         (
+            # The validated training recipe uses relative attention; these
+            # rel=true rows (VERDICT r2 item 8) price its in-kernel band
+            # matmul at batch scale next to the rel=false rows above/below.
+            "batched decode (batch 8 x 1014, relative attention)",
+            lambda: run_decode_benchmark(
+                batch_size=8, length=1014, use_relative_attention=True,
+            ),
+        ),
+        (
             "batched decode (batch 64 x 2048, chunked fused kernel)",
             lambda: run_batched_decode_benchmark(),
+        ),
+        (
+            "batched decode (batch 64 x 2048, relative attention)",
+            lambda: run_batched_decode_benchmark(use_relative_attention=True),
         ),
         ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
         (
             "serving (32 concurrent clients, coalesced batches of 8)",
             run_serving_benchmark,
+        ),
+        (
+            "serving (32 clients, relative attention)",
+            lambda: run_serving_benchmark(use_relative_attention=True),
+        ),
+        (
+            # Latency under Poisson arrivals: run-to-completion coalescing
+            # vs continuous batching over the segmented kernel (identical
+            # arrival schedule + request mix). The continuous scheduler
+            # admits a late arrival at the next segment boundary instead of
+            # making it wait out the in-flight batch's whole generation.
+            "serving latency, Poisson arrivals (run-to-completion)",
+            lambda: run_poisson_serving_benchmark(continuous=False)
+            if on_tpu else {"error": "poisson bench skipped off-TPU"},
+        ),
+        (
+            "serving latency, Poisson arrivals (continuous batching)",
+            lambda: run_poisson_serving_benchmark(continuous=True)
+            if on_tpu else {"error": "poisson bench skipped off-TPU"},
         ),
         (
             # Every client brings its own temperature/top-k/top-p (greedy
@@ -834,7 +937,13 @@ def run_all(write_markdown=True):
             "include this environment's remote-tunnel dispatch RTT, which "
             "drifts ±20 ms between sessions; the length-differenced "
             "`on_device_events_per_sec_marginal` details are the stable "
-            "chip-side rates.",
+            "chip-side rates. Train rows carry a roofline column: "
+            "`tflops_per_sec` counts the matmul FLOPs the dense paths "
+            "actually issue (full S² attention, bwd = 2× fwd) over the "
+            "step time, and `pct_peak_bf16` is that against the chip's "
+            "MXU peak — rows well under ~15% are memory/layout-bound, "
+            "not compute-bound (the reference arch's profile: 71.8 ms "
+            "matmul, 57.4 fused elementwise, 46.4 data formatting).",
             "",
             "| Workload | Metric | Value | vs 50k north star | Detail |",
             "|---|---|---|---|---|",
