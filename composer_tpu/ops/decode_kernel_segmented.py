@@ -63,23 +63,62 @@ def _segment_kernel(
     # scalar prefetch (SMEM)
     prompt_ref, plen_ref, start_ref, step0_ref, seed_ref,
     temp_ref, topk_ref, topp_ref,
-    # tensor inputs (VMEM; kbuf/vbuf/carry aliased to outputs)
+    # tensor inputs (VMEM except the HBM-resident kbuf/vbuf)
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
     logits_b_ref, rel_pad_ref, kbuf_in, vbuf_in, carry_in,
-    # outputs (kbuf/vbuf/carry_ref aliased to kbuf_in/vbuf_in/carry_in)
-    tokens_ref, kbuf, vbuf, carry_ref,
+    # outputs (kbuf_out/vbuf_out/carry_ref aliased to the inputs)
+    tokens_ref, kbuf_out, vbuf_out, carry_ref,
+    # VMEM scratch: each slot's live cache prefix for this segment
+    kbuf, vbuf, copy_sem,
     *, batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
-    vocab_size: int, steps: int, live: int, ln_eps: float,
+    vocab_size: int, steps: int, live: int, live_pad: int, ln_eps: float,
     scale_attention: bool, greedy: bool, use_rel: bool,
     use_k: bool = False, use_p: bool = False,
 ):
-    del kbuf_in, vbuf_in, carry_in  # aliased: read/write through the outputs
+    del carry_in  # aliased: read/write through the output ref
     B, R, E, C = batch, num_heads, embed_dim, cache_len
     width = prompt_ref.shape[1]
     step0 = step0_ref[0]
+
+    # Stage each slot's live cache prefix HBM -> VMEM. The full (B, C) cache
+    # cannot be a VMEM operand: aliased in/out VMEM windows are allocated
+    # SEPARATELY by Mosaic (measured: 2x the cache footprint, OOM at
+    # 8 slots x 1024), and ``live`` is usually far below C anyway. One DMA
+    # per (layer, slot) — or per layer when the prefix spans the whole slot.
+    def prefix_copies(src_k, dst_k, src_v, dst_v, src_stride, dst_stride):
+        copies = []
+        for layer in range(num_layers):
+            if live == src_stride == dst_stride:
+                pairs = [((layer,), (layer,))]
+            else:
+                pairs = [
+                    (
+                        (layer, pl.ds(s * src_stride, live)),
+                        (layer, pl.ds(s * dst_stride, live)),
+                    )
+                    for s in range(B)
+                ]
+            for src_idx, dst_idx in pairs:
+                copies.append(
+                    pltpu.make_async_copy(
+                        src_k.at[src_idx], dst_k.at[dst_idx], copy_sem
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        src_v.at[src_idx], dst_v.at[dst_idx], copy_sem
+                    )
+                )
+        return copies
+
+    copies_in = prefix_copies(kbuf_in, kbuf, vbuf_in, vbuf, C, live_pad)
+    for copy in copies_in:
+        copy.start()
+    for copy in copies_in:
+        copy.wait()
 
     # Per-row SMEM scalars -> (B, 1) columns (see decode_kernel_batched.py).
     def col(ref, dtype):
@@ -183,13 +222,21 @@ def _segment_kernel(
 
             attn_rows = []
             for s in range(B):
-                position = jnp.maximum(i - start_ref[s], 0)
-                base = s * C
+                # Clamp into the live prefix: a completed row lingering one
+                # extra segment (admission lag) can run past ``live`` — the
+                # clamp keeps its (discarded) reads in-slot and the row_hit
+                # equality below then fails, so it writes nothing and can
+                # never corrupt a neighbouring slot.
+                position = jnp.clip(i - start_ref[s], 0, live - 1)
+                base = s * live_pad
 
                 # Append this row's k/v at ITS position (masked slab write;
                 # parked rows write nothing).
                 slab = pl.multiple_of((position // KV_SLAB) * KV_SLAB, KV_SLAB)
-                row_hit = (slab_rows == position - slab) & (i >= start_ref[s])
+                row_hit = (
+                    (slab_rows == (i - start_ref[s]) - slab)
+                    & (i >= start_ref[s])
+                )
                 k_slab = kbuf[layer, pl.ds(base + slab, KV_SLAB), :]
                 kbuf[layer, pl.ds(base + slab, KV_SLAB), :] = jnp.where(
                     row_hit,
@@ -309,6 +356,15 @@ def _segment_kernel(
     carry = jax.lax.fori_loop(step0, step0 + steps, step_fn, carry, unroll=False)
     carry_ref[...] = carry
 
+    # Stage the (updated) live prefixes back out VMEM -> HBM. Rows beyond
+    # ``live`` were never touched and keep their contents through the
+    # in/out aliasing — no copy for them.
+    copies_out = prefix_copies(kbuf, kbuf_out, vbuf, vbuf_out, live_pad, C)
+    for copy in copies_out:
+        copy.start()
+    for copy in copies_out:
+        copy.wait()
+
 
 def init_segment_state(packed, config, batch: int, cache_len: int):
     """Fresh carried state for a decode-slot batch: zeroed KV caches and a
@@ -357,6 +413,8 @@ def decode_segment(
     batch = prompts.shape[0]
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
+    live = min(live, cache_len)
+    live_pad = _round_up(live, 128 if live >= 128 else KV_SLAB)
 
     if use_rel:
         rel_pad = jnp.pad(
@@ -396,6 +454,7 @@ def decode_segment(
         vocab_size=config.vocab_size,
         steps=steps,
         live=live,
+        live_pad=live_pad,
         ln_eps=config.layer_norm_epsilon,
         scale_attention=config.scale_attention,
         greedy=greedy,
@@ -424,11 +483,28 @@ def decode_segment(
         kbuf, vbuf, carry,
     )
 
+    # The KV caches stay in HBM (ANY) and round-trip through live-sized VMEM
+    # scratch inside the kernel: an aliased VMEM operand would get separate
+    # input AND output windows from Mosaic, doubling the footprint.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(tensor_inputs) - 3)
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((config.num_layers, batch * live_pad, E), kbuf.dtype),
+            pltpu.VMEM((config.num_layers, batch * live_pad, E), vbuf.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
 
     state_base = len(scalars) + len(tensor_inputs) - 3  # kbuf's input index

@@ -256,7 +256,8 @@ class ContinuousGenerationService:
     def __init__(self, model, model_type: ModelType, variables,
                  vocab_size: int, slots: int = 8, seg_steps: int = 64,
                  cache_len: int = 2048, seed: int = 0,
-                 interpret: Optional[bool] = None, dtype=None):
+                 interpret: Optional[bool] = None, dtype=None,
+                 kv_vmem_mb: float = 64.0):
         if model_type != ModelType.TRANSFORMER:
             raise InvalidParameterError(
                 "Continuous batching requires a transformer model."
@@ -292,6 +293,28 @@ class ContinuousGenerationService:
         self.interpret = interpret
         self._seed = seed
         self._parked = PARKED
+
+        # Attention contracts a staged `live` cache prefix that grows in
+        # buckets with the oldest row (fresh compile per bucket, then
+        # cached). Both caches' live prefixes sit in VMEM during a segment,
+        # so slots x live is bounded by a VMEM budget; the leftover capacity
+        # is what a single request's prompt + length may span.
+        self.live_bucket = 256
+        kv_bytes_per_row = (
+            2 * model.config.num_layers * self.slots * model.config.embed_dim
+            * jnp.dtype(dtype).itemsize
+        )
+        budget = int(kv_vmem_mb * 1024 * 1024)
+        live_max = max(budget // kv_bytes_per_row, 0)
+        self.capacity = min(
+            self.cache_len, (live_max // self.live_bucket) * self.live_bucket
+        )
+        if self.capacity < min(self.width, 2 * self.live_bucket):
+            raise InvalidParameterError(
+                f"{self.slots} decode slots x {model.config.num_layers} "
+                f"layers x embed {model.config.embed_dim} exceeds the "
+                f"{kv_vmem_mb} MiB KV VMEM budget — use fewer slots."
+            )
 
         self._state = init_segment_state(
             self.packed, model.config, self.slots, self.cache_len
@@ -330,10 +353,10 @@ class ContinuousGenerationService:
                 f"Prompt of {prompt.size} events exceeds the serving window "
                 f"({self.width})."
             )
-        if prompt.size + length > self.cache_len:
+        if prompt.size + length > self.capacity:
             raise InvalidParameterError(
                 f"prompt ({prompt.size}) + length ({length}) exceeds the "
-                f"serving cache ({self.cache_len})."
+                f"serving capacity ({self.capacity})."
             )
         request = _Request(
             prompt, int(length), float(temperature), int(top_k), float(top_p)
@@ -380,6 +403,16 @@ class ContinuousGenerationService:
         use_p = bool(
             ((self._topps[active] > 0) & (self._topps[active] < 1)).any()
         )
+        # Contract (and stage into VMEM) only the cache prefix the oldest
+        # row can reach this segment, rounded up to a bucket so the compile
+        # cache stays small. A completed row lingering past `capacity`
+        # clamps in-kernel (its discarded tokens may repeat).
+        end = self._step + self.seg_steps
+        live_needed = int((end - self._starts[active]).max()) if active.any() else 1
+        live = min(
+            self.capacity,
+            -(-max(live_needed, 1) // self.live_bucket) * self.live_bucket,
+        )
         kbuf, vbuf, carry = self._state
         tokens, kbuf, vbuf, carry = decode_segment(
             self.packed, kbuf, vbuf, carry,
@@ -387,7 +420,7 @@ class ContinuousGenerationService:
             self._step, self._seed, self._temps.copy(), self._topks.copy(),
             self._topps.copy(),
             config=self.config, steps=self.seg_steps,
-            cache_len=self.cache_len, live=self.cache_len,
+            cache_len=self.cache_len, live=live,
             interpret=self.interpret, greedy=greedy,
             use_k=use_k, use_p=use_p,
         )

@@ -141,6 +141,74 @@ def test_admission_mid_flight_matches_fresh_run():
     )
 
 
+def test_staged_live_matches_full_cache():
+    """Contracting only a staged `live` prefix (the scheduler grows it in
+    buckets; the kernel stages exactly that many VMEM rows per slot) emits
+    the same tokens as contracting the whole cache."""
+    config, model, params = _setup(True)
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = rng.integers(0, 390, (2, 5)).astype(np.int32)
+    plens = np.array([5, 3], np.int32)
+    starts = np.zeros(2, np.int32)
+
+    full = _run_segments(packed, config, prompts, plens, starts, [0, 24])
+
+    batch = 2
+    kbuf, vbuf, carry = init_segment_state(packed, config, batch, CACHE)
+    chunks = []
+    for b0, b1 in [(0, 8), (8, 16), (16, 24)]:
+        live = ((b1 + 15) // 16) * 16  # grows with the oldest row
+        tokens, kbuf, vbuf, carry = decode_segment(
+            packed, kbuf, vbuf, carry, prompts, plens, starts,
+            b0, 0, 0.0, 0, 0.0,
+            config=config, steps=b1 - b0, cache_len=CACHE, live=live,
+            interpret=True, greedy=True,
+        )
+        chunks.append(np.asarray(tokens))
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=1), full)
+
+
+def test_lingering_row_past_live_cannot_corrupt_neighbours():
+    """A completed row the scheduler has not evicted yet can advance past
+    `live` (capacity clamp). Its cache writes must clamp in-slot — a row
+    admitted into the NEXT slot decodes exactly its fresh standalone run."""
+    config, model, params = _setup(True)
+    packed = dk.pack_weights(params, config, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    early = rng.integers(0, 390, 4).astype(np.int32)
+    late = rng.integers(0, 390, 6).astype(np.int32)
+
+    prompts = np.zeros((2, 6), np.int32)
+    prompts[0, :4] = early
+    plens = np.array([4, 1], np.int32)
+    starts = np.array([0, PARKED], np.int32)
+
+    kbuf, vbuf, carry = init_segment_state(packed, config, 2, CACHE)
+    _, kbuf, vbuf, carry = decode_segment(
+        packed, kbuf, vbuf, carry, prompts, plens, starts, 0, 0, 0.0, 0, 0.0,
+        config=config, steps=32, cache_len=CACHE, live=32,
+        interpret=True, greedy=True,
+    )
+    # Admit the late row; keep row 0 active with live pinned BELOW its
+    # positions (32..47 vs live 32) — the lingering-clamp scenario.
+    prompts[1, :6] = late
+    plens[1] = 6
+    starts[1] = 32
+    tokens, kbuf, vbuf, carry = decode_segment(
+        packed, kbuf, vbuf, carry, prompts, plens, starts, 32, 0, 0.0, 0, 0.0,
+        config=config, steps=16, cache_len=CACHE, live=32,
+        interpret=True, greedy=True,
+    )
+    fresh = dk.megakernel_generate(
+        packed, late, seed=0, temperature=0.0,
+        config=config, length=11, cache_len=CACHE, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        _gather(np.asarray(tokens)[1], 0, 6, 11), np.asarray(fresh)
+    )
+
+
 def test_state_roundtrips_through_aliased_refs():
     """The returned state arrays are usable (donation/aliasing did not
     corrupt them): running two more segments after a reuse is identical to
