@@ -237,14 +237,14 @@ def _segment_kernel(
                     (slab_rows == (i - start_ref[s]) - slab)
                     & (i >= start_ref[s])
                 )
-                k_slab = kbuf[layer, pl.ds(base + slab, KV_SLAB), :]
-                kbuf[layer, pl.ds(base + slab, KV_SLAB), :] = jnp.where(
+                k_slab = kbuf[layer, pl.ds(base + slab, KV_SLAB), 0:E]
+                kbuf[layer, pl.ds(base + slab, KV_SLAB), 0:E] = jnp.where(
                     row_hit,
                     jnp.broadcast_to(k_small[s : s + 1], (KV_SLAB, E)),
                     k_slab,
                 ).astype(kbuf.dtype)
-                v_slab = vbuf[layer, pl.ds(base + slab, KV_SLAB), :]
-                vbuf[layer, pl.ds(base + slab, KV_SLAB), :] = jnp.where(
+                v_slab = vbuf[layer, pl.ds(base + slab, KV_SLAB), 0:E]
+                vbuf[layer, pl.ds(base + slab, KV_SLAB), 0:E] = jnp.where(
                     row_hit,
                     jnp.broadcast_to(v_small[s : s + 1], (KV_SLAB, E)),
                     v_slab,
@@ -252,7 +252,7 @@ def _segment_kernel(
 
                 qb_s = qb[s * R : (s + 1) * R]  # (R, E)
                 scores = jax.lax.dot_general(
-                    qb_s, kbuf[layer, pl.ds(base, live), :],
+                    qb_s, kbuf[layer, pl.ds(base, live), 0:E],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (R, live)
@@ -283,7 +283,7 @@ def _segment_kernel(
                 w = p / jnp.sum(p, axis=1, keepdims=True)
 
                 mixed = jax.lax.dot_general(
-                    w.astype(vbuf.dtype), vbuf[layer, pl.ds(base, live), :],
+                    w.astype(vbuf.dtype), vbuf[layer, pl.ds(base, live), 0:E],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (R, E)
@@ -370,11 +370,14 @@ def init_segment_state(packed, config, batch: int, cache_len: int):
     """Fresh carried state for a decode-slot batch: zeroed KV caches and a
     zero carry one-hot (the kernel re-derives every admitted row's first
     input from its prompt at segment start)."""
-    E = config.embed_dim
     vocab_pad = packed["wte"].shape[0]
     dtype = packed["wte"].dtype
+    # Lane dim padded to the 128-lane tile: the segment DMAs slice the
+    # cache memrefs, and Mosaic requires those slices lane-aligned (only
+    # costs anything at embed_dim < 128, i.e. toy models).
     kbuf = jnp.zeros(
-        (config.num_layers, batch * cache_len, E), dtype
+        (config.num_layers, batch * cache_len, _round_up(config.embed_dim, 128)),
+        dtype,
     )
     vbuf = jnp.zeros_like(kbuf)
     carry = jnp.zeros((batch * config.num_heads, vocab_pad), dtype)
@@ -501,8 +504,12 @@ def decode_segment(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((config.num_layers, batch * live_pad, E), kbuf.dtype),
-            pltpu.VMEM((config.num_layers, batch * live_pad, E), vbuf.dtype),
+            pltpu.VMEM(
+                (config.num_layers, batch * live_pad, kbuf.shape[2]), kbuf.dtype
+            ),
+            pltpu.VMEM(
+                (config.num_layers, batch * live_pad, vbuf.shape[2]), vbuf.dtype
+            ),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -57,6 +57,9 @@ class _Request:
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    # Streaming: when set, every token chunk is pushed here as it is
+    # harvested (continuous engine: once per segment); None terminates.
+    chunks: Optional["queue.Queue"] = None
 
 
 
@@ -301,7 +304,8 @@ class ContinuousGenerationService:
         # is what a single request's prompt + length may span.
         self.live_bucket = 256
         kv_bytes_per_row = (
-            2 * model.config.num_layers * self.slots * model.config.embed_dim
+            2 * model.config.num_layers * self.slots
+            * max(model.config.embed_dim, 128)  # caches pad to the lane tile
             * jnp.dtype(dtype).itemsize
         )
         budget = int(kv_vmem_mb * 1024 * 1024)
@@ -340,6 +344,47 @@ class ContinuousGenerationService:
     def submit(self, prompt_ids, length: int, temperature: float = 1.0,
                top_k: int = 0, top_p: float = 0.0) -> np.ndarray:
         prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
+        request = _Request(
+            prompt, int(length), float(temperature), int(top_k), float(top_p)
+        )
+        self._validate(request)
+        self._queue.put(request)
+        request.done.wait()
+        if request.error is not None:
+            raise request.error
+        return request.result
+
+    def submit_stream(self, prompt_ids, length: int, temperature: float = 1.0,
+                      top_k: int = 0, top_p: float = 0.0):
+        """Like :meth:`submit`, but yields token chunks as segments complete
+        (the first chunk is the prompt echo), instead of blocking until the
+        whole generation is done. Raises the generation error, if any, at
+        the point it occurs."""
+        prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
+        probe = _Request(prompt, int(length), float(temperature),
+                         int(top_k), float(top_p))
+        self._validate(probe)
+        probe.chunks = queue.Queue()
+        self._queue.put(probe)
+
+        def chunk_iter():
+            yield [int(t) for t in prompt]
+            while True:
+                chunk = probe.chunks.get()
+                if chunk is None:
+                    if probe.error is not None:
+                        raise probe.error
+                    return
+                yield chunk
+
+        return chunk_iter()
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=60)
+
+    def _validate(self, request: _Request):
+        prompt, length = request.prompt_ids, request.length
         if prompt.size == 0:
             raise InvalidParameterError("Prompt must contain at least one event.")
         if prompt.min() < 0 or prompt.max() >= self.vocab_size:
@@ -358,18 +403,6 @@ class ContinuousGenerationService:
                 f"prompt ({prompt.size}) + length ({length}) exceeds the "
                 f"serving capacity ({self.capacity})."
             )
-        request = _Request(
-            prompt, int(length), float(temperature), int(top_k), float(top_p)
-        )
-        self._queue.put(request)
-        request.done.wait()
-        if request.error is not None:
-            raise request.error
-        return request.result
-
-    def close(self):
-        self._queue.put(None)
-        self._worker.join(timeout=60)
 
     # ------------------------------------------------------------------ worker
     def _admit(self, request: _Request, slot: int):
@@ -447,11 +480,15 @@ class ContinuousGenerationService:
             if need > 0 and lo < tokens.shape[1]:
                 take = tokens[slot, lo : lo + need]
                 collected.extend(int(t) for t in take)
+                if request.chunks is not None and take.size:
+                    request.chunks.put([int(t) for t in take])
             if len(collected) >= request.length:
                 request.result = np.concatenate(
                     [request.prompt_ids,
                      np.asarray(collected[: request.length], np.int32)]
                 )
+                if request.chunks is not None:
+                    request.chunks.put(None)
                 request.done.set()
                 self._evict(slot)
 
@@ -491,6 +528,8 @@ class ContinuousGenerationService:
                 for slot, request in enumerate(self._requests):
                     if request is not None:
                         request.error = error
+                        if request.chunks is not None:
+                            request.chunks.put(None)
                         request.done.set()
                         self._evict(slot)
                 inflight.clear()
@@ -619,13 +658,19 @@ class _Handler(BaseHTTPRequestHandler):
             prompt_ids = _prompt_from_json(
                 body, type(self).config, body.get("prompt_length")
             )
-            ids = type(self).service.submit(
-                prompt_ids,
+            kwargs = dict(
                 length=int(body.get("length", defaults["length"])),
                 temperature=float(body.get("temperature", defaults["temperature"])),
                 top_k=int(body.get("top_k", 0)),
                 top_p=float(body.get("top_p", 0.0)),
             )
+            if body.get("stream"):
+                if body.get("return_midi", "midi_base64" in body):
+                    raise InvalidParameterError(
+                        "return_midi cannot be combined with stream."
+                    )
+                return self._stream(type(self).service, prompt_ids, kwargs)
+            ids = type(self).service.submit(prompt_ids, **kwargs)
         except InvalidParameterError as error:
             return self._reply(400, {"error": str(error)})
         except (ValueError, TypeError, json.JSONDecodeError) as error:
@@ -638,6 +683,32 @@ class _Handler(BaseHTTPRequestHandler):
         if body.get("return_midi", "midi_base64" in body):
             payload["midi_base64"] = _midi_base64_from_ids(ids, type(self).config)
         self._reply(200, payload)
+
+    def _stream(self, service, prompt_ids, kwargs):
+        """ndjson streaming: one {"events": [...]} line per harvested chunk
+        (the first is the prompt echo), then {"done": true}. The continuous
+        engine emits a chunk per decode segment; the run-to-completion
+        engine emits the whole generation as one chunk. Parameter errors
+        raise before any header is written (submit_stream validates
+        eagerly), so clients still get a clean 400 for those."""
+        if hasattr(service, "submit_stream"):
+            chunks = service.submit_stream(prompt_ids, **kwargs)
+        else:
+            ids = service.submit(prompt_ids, **kwargs)
+            chunks = iter([[int(i) for i in ids]])
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.end_headers()  # HTTP/1.0: connection close delimits the body
+        try:
+            for chunk in chunks:
+                self.wfile.write(
+                    json.dumps({"events": chunk}).encode() + b"\n"
+                )
+                self.wfile.flush()
+            self.wfile.write(json.dumps({"done": True}).encode() + b"\n")
+        except Exception as error:  # mid-stream failure: headers already out
+            logging.exception("serve: streaming generation failed")
+            self.wfile.write(json.dumps({"error": str(error)}).encode() + b"\n")
 
 
 def build_server(service: GenerationService, config, host: str = "127.0.0.1",

@@ -343,6 +343,79 @@ def test_continuous_behind_http(continuous_service):
         http_server.server_close()
 
 
+def test_streaming_matches_blocking_submit(continuous_service):
+    """submit_stream yields the prompt echo then per-segment chunks whose
+    concatenation equals the blocking submit's result."""
+    model, params, service = continuous_service
+    prompt = [5, 100, 300, 17]
+    blocking = service.submit(prompt, length=9, temperature=0.0)
+    chunks = list(service.submit_stream(prompt, length=9, temperature=0.0))
+    assert chunks[0] == prompt
+    assert len(chunks) > 2  # 9 tokens over 4-step segments: >1 data chunk
+    streamed = [t for chunk in chunks for t in chunk]
+    np.testing.assert_array_equal(np.asarray(streamed), blocking)
+
+
+def test_streaming_over_http(continuous_service):
+    """POST {"stream": true} returns ndjson lines that arrive per segment
+    and concatenate to the non-streaming response."""
+    model, params, service = continuous_service
+    config = config_lib.get_default()
+    http_server = build_server(service, config, port=0, default_length=4)
+    thread = threading.Thread(target=http_server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = http_server.server_port
+        request = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate",
+            data=json.dumps(
+                {"events": [5, 6, 7], "length": 9, "temperature": 0.0,
+                 "stream": True}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        lines = []
+        with urllib.request.urlopen(request, timeout=120) as response:
+            assert response.status == 200
+            assert response.headers["Content-Type"] == "application/x-ndjson"
+            for raw in response:
+                lines.append(json.loads(raw))
+        assert lines[-1] == {"done": True}
+        streamed = [t for line in lines[:-1] for t in line["events"]]
+        assert len(lines) > 3
+
+        status, body = _post(
+            http_server,
+            {"events": [5, 6, 7], "length": 9, "temperature": 0.0},
+        )
+        assert status == 200 and body["events"] == streamed
+
+        # Parameter errors still get a clean 400 (validation is eager).
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(http_server, {"events": [], "stream": True})
+        assert err.value.code == 400
+    finally:
+        http_server.shutdown()
+        http_server.server_close()
+
+
+def test_streaming_on_run_to_completion_engine(server):
+    """The run-to-completion engine serves {"stream": true} too — a single
+    chunk after the generation finishes (same wire protocol)."""
+    http_server, _ = server
+    port = http_server.server_port
+    request = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/generate",
+        data=json.dumps({"events": [5, 6], "length": 3, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(request, timeout=60) as response:
+        lines = [json.loads(raw) for raw in response]
+    assert lines[-1] == {"done": True}
+    events = [t for line in lines[:-1] for t in line["events"]]
+    assert events[:2] == [5, 6] and len(events) == 5
+
+
 def test_continuous_rejects_oversize_and_bad_requests(continuous_service):
     from composer_tpu.exceptions import InvalidParameterError
 
