@@ -87,6 +87,7 @@ class GenerationService:
         self.max_batch_size = max(1, int(max_batch_size))
         self.max_wait_s = max(0.0, float(max_wait_ms) / 1000.0)
         self.batch_sizes = []  # per processed batch, for observability/tests
+        self.requests_completed = 0
         self._seed = seed
         self._seed_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -228,6 +229,7 @@ class GenerationService:
                 generated = np.asarray(ids[row])[width : width + request.length]
                 request.result = np.concatenate([request.prompt_ids, generated])
                 request.done.set()
+                self.requests_completed += 1
         except Exception as error:  # surface to every waiter, keep serving
             for request in batch:
                 request.error = error
@@ -333,6 +335,7 @@ class ContinuousGenerationService:
         self._collected: list[list[int]] = [[] for _ in range(self.slots)]
         self._step = 0
         self.batch_sizes = []  # active rows per segment, for observability
+        self.requests_completed = 0
 
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
@@ -490,6 +493,7 @@ class ContinuousGenerationService:
                 if request.chunks is not None:
                     request.chunks.put(None)
                 request.done.set()
+                self.requests_completed += 1
                 self._evict(slot)
 
     def _run(self):
@@ -643,7 +647,7 @@ class _Handler(BaseHTTPRequestHandler):
             "vocab_size": service.vocab_size,
             "backend": jax.default_backend(),
             "max_batch_size": service.max_batch_size,
-            "requests_served": int(sum(service.batch_sizes)),
+            "requests_served": int(service.requests_completed),
         })
 
     def do_POST(self):
