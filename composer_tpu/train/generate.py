@@ -209,11 +209,36 @@ def _rnn_generate(model, variables, prompt, rng, length: int, temperature,
     return jnp.concatenate([tokens.transpose(1, 0), last[:, None]], axis=1)
 
 
+def _packed_weight_bytes(config) -> int:
+    """VMEM footprint of the fused kernels' resident packed weights.
+
+    The megakernels hold EVERY layer's weights in VMEM for the whole
+    generation (that is where their throughput comes from), so the model
+    size bounds which architectures they serve at all: per layer the bf16
+    matmul weights are c_attn E x 3E + c_proj E x E + mlp E x 4E + 4E x E
+    = 12 E^2 elements, plus the embedding tables. At the reference arch
+    (E=256, L=8) this is ~14 MB; at E=1024 it is ~200 MB and the kernel
+    cannot fit v5e's 128 MB VMEM — those models must take the XLA scan
+    path (the 2026-08-19 embed-1024 flash validation run hit exactly this
+    as a compile-time VMEM OOM before this gate accounted for weights).
+    """
+    e = config.embed_dim
+    per_layer = 12 * e * e * 2  # bf16 matmuls
+    per_layer += (3 * e + e + 4 * e + e) * 4  # f32 biases
+    per_layer += 4 * e * 4  # ln_1/ln_2 scale+bias, f32
+    vocab_pad = -(-getattr(config, "vocab_size", 512) // 256) * 256
+    tables = 2 * vocab_pad * e * 2  # wte packed both directions, bf16
+    tables += config.window_size * e * 2  # wpe, bf16
+    tables += 2 * e * 4  # ln_f, f32
+    return config.num_layers * per_layer + tables
+
+
 def _kernel_vmem_fits(config, batch: int, cache_len: int) -> bool:
-    # KV scratch is (L, B*C, E) bf16 x2 (+ weights ~13MB + rel buffers);
-    # keep it within ~90MB of the chip's ~120MB VMEM.
+    # Resident VMEM = packed weights + KV scratch (L, B*C, E) bf16 x2
+    # (+ a few MB of activation scratch); keep the sum within ~100MB of
+    # the chip's ~128MB VMEM.
     kv_bytes = 2 * config.num_layers * batch * cache_len * config.embed_dim * 2
-    return kv_bytes < 90 * 1024 * 1024
+    return _packed_weight_bytes(config) + kv_bytes < 100 * 1024 * 1024
 
 
 def _megakernel_chunk(config, batch: int, cache_len: int) -> int:
@@ -363,7 +388,9 @@ class TransformerDecoder:
         chunk = _megakernel_chunk(self.config, prompt.shape[0], cache_len)
         if chunk == 0:
             raise ValueError(
-                f"cache_len {cache_len} exceeds the fused kernel's VMEM budget"
+                f"model (embed {self.config.embed_dim}, {self.config.num_layers}"
+                f" layers) + cache_len {cache_len} exceeds the fused kernel's"
+                " VMEM budget; use the XLA engine for this architecture"
             )
         outputs = []
         for index, start in enumerate(range(0, prompt.shape[0], chunk)):

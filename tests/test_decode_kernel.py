@@ -269,6 +269,33 @@ def test_use_megakernel_allows_large_batches():
     assert not gen._use_megakernel(model, ModelType.TRANSFORMER, 4, 40_000_000, "megakernel")
 
 
+def test_vmem_gate_counts_packed_weights():
+    """Wide models whose packed weights alone overflow VMEM must be routed
+    to the XLA scan path even at batch 1 / short caches (an embed-1024
+    model is ~200MB of resident kernel weights — the 2026-08-19 validation
+    run OOMed at compile time when the gate only counted KV bytes)."""
+    from composer_tpu.train import generate as gen
+
+    wide = TransformerConfig(
+        vocab_size=390, embed_dim=1024, window_size=2048, num_layers=8,
+        num_heads=16,
+    )
+    assert gen._packed_weight_bytes(wide) > 128 * 1024 * 1024
+    assert gen._megakernel_chunk(wide, 1, 128) == 0
+    model = Transformer(wide)
+    assert not gen._use_megakernel(model, ModelType.TRANSFORMER, 1, 640, "megakernel")
+
+    # The reference arch (embed 256) still fits at the serving shape:
+    # 8 rows x 1152-cache — the round-2 serving benches must keep routing
+    # through the fused engine.
+    ref = TransformerConfig(
+        vocab_size=390, embed_dim=256, window_size=2048, num_layers=8,
+        num_heads=16,
+    )
+    assert gen._packed_weight_bytes(ref) < 20 * 1024 * 1024
+    assert gen._megakernel_chunk(ref, 8, 1152) == 8
+
+
 def test_vmem_gate_matches_engine_padding(setup):
     """The engine pads cache_len to 128; the routing gate must apply the
     same padding, or requests in the 127-wide band just below a chunk-size
