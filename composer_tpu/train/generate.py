@@ -362,7 +362,10 @@ class TransformerDecoder:
                  top_k=0, top_p=0.0, prompt_lengths=None):
         from composer_tpu.ops.decode_kernel import sampling_flags
 
-        prompt = jnp.asarray(prompt, jnp.int32)
+        # Host array end to end: the per-chunk slices below stay free host
+        # views instead of dispatched device slice programs, and the jitted
+        # pipeline uploads its chunk as a call argument.
+        prompt = np.asarray(prompt, np.int32)
         if prompt.ndim == 1:
             prompt = prompt[None]
         if cache_len is None:
@@ -490,8 +493,12 @@ def generate_ids(
     squeeze = prompt_host.ndim == 1
     if squeeze:
         prompt_host = prompt_host[None]
-    prompt = jnp.asarray(prompt_host)
-    rng = jax.random.PRNGKey(seed)
+    # The prompt stays a HOST array until a jitted call uploads it as an
+    # argument, and the PRNG key is built only on the paths that consume
+    # it: the fused kernels take the integer seed, and on the remote
+    # tunnel an eager PRNGKey / device slice is a whole extra dispatch
+    # (~25 ms RTT) per generate call.
+    prompt = prompt_host
     temps, topks, topps = _normalize_sampling(
         prompt.shape[0], temperature, top_k, top_p
     )
@@ -520,17 +527,20 @@ def generate_ids(
             )
         elif prompt_lengths is not None:
             generated = _ragged_transformer_generate(
-                model, params_or_variables, prompt, plens, rng, length,
-                cache_len, *_warper_arrays(temps, topks, topps),
+                model, params_or_variables, jnp.asarray(prompt), plens,
+                jax.random.PRNGKey(seed), length, cache_len,
+                *_warper_arrays(temps, topks, topps),
             )
         else:
             generated = _transformer_generate(
-                model, params_or_variables, prompt, rng, length, cache_len,
+                model, params_or_variables, jnp.asarray(prompt),
+                jax.random.PRNGKey(seed), length, cache_len,
                 *_warper_arrays(temps, topks, topps),
             )
     else:
         generated = _rnn_generate(
-            model, params_or_variables, prompt, rng, length,
+            model, params_or_variables, jnp.asarray(prompt),
+            jax.random.PRNGKey(seed), length,
             *_warper_arrays(temps, topks, topps),
         )
 
