@@ -146,13 +146,14 @@ def _roofline(tflops_per_step, elapsed_seconds):
     return out
 
 
-def _default_transformer(use_relative_attention: bool, dtype):
+def _default_transformer(use_relative_attention: bool, dtype, embed_dim=256,
+                         window_size=1024):
     from composer_tpu.models.transformer import Transformer, TransformerConfig
 
     config = TransformerConfig(
         vocab_size=390,
-        embed_dim=256,
-        window_size=1024,
+        embed_dim=embed_dim,
+        window_size=window_size,
         num_layers=8,
         num_heads=16,
         use_relative_attention=use_relative_attention,
@@ -174,15 +175,23 @@ def run_decode_benchmark(
     dtype=None,
     repeats: int = 3,
     seed: int = 0,
+    embed_dim: int = 256,
+    engine: str = "auto",
 ):
-    """Times the jitted KV-cached scan decode; returns the bench JSON dict."""
+    """Times the jitted KV-cached scan decode; returns the bench JSON dict.
+
+    ``embed_dim``/``engine`` cover the wide-model serving path: models whose
+    packed weights overflow VMEM (e.g. embed 1024, ~200 MB — see
+    train/generate.py::_packed_weight_bytes) cannot use the fused megakernel
+    and decode through the XLA scan engine instead.
+    """
     from composer_tpu.models import ModelType
     from composer_tpu.train.generate import generate_ids
 
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    model = _default_transformer(use_relative_attention, dtype)
+    model = _default_transformer(use_relative_attention, dtype, embed_dim)
     params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
 
     rng = np.random.default_rng(seed)
@@ -193,7 +202,7 @@ def run_decode_benchmark(
             out = generate_ids(
                 model, ModelType.TRANSFORMER, params, prompt,
                 length=gen_length, temperature=1.0, seed=seed,
-                cache_len=cache_len,
+                cache_len=cache_len, engine=engine,
             )
             return np.asarray(out)  # force host transfer: the only real sync
 
@@ -243,6 +252,8 @@ def run_decode_benchmark(
             "length": length,
             "batch_size": batch_size,
             "relative_attention": use_relative_attention,
+            **({"embed_dim": embed_dim} if embed_dim != 256 else {}),
+            **({"engine": engine} if engine != "auto" else {}),
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
             "seconds": round(best, 4),
@@ -801,6 +812,17 @@ def run_all(write_markdown=True):
             "batched decode (batch 64 x 2048, relative attention)",
             lambda: run_batched_decode_benchmark(use_relative_attention=True),
         ),
+        (
+            # Wide models (embed 1024: ~200 MB of packed weights) overflow
+            # the megakernel's VMEM weight residency and decode through the
+            # XLA scan engine — the path the VMEM gate
+            # (train/generate.py::_packed_weight_bytes) routes them to.
+            "wide-model decode (embed 1024, batch 8, XLA scan engine)",
+            lambda: run_decode_benchmark(
+                batch_size=8, length=1014, embed_dim=1024, engine="xla",
+                repeats=2,
+            ),
+        ),
         ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
         (
             "serving (32 concurrent clients, coalesced batches of 8)",
@@ -937,7 +959,11 @@ def run_all(write_markdown=True):
             "include this environment's remote-tunnel dispatch RTT, which "
             "drifts ±20 ms between sessions; the length-differenced "
             "`on_device_events_per_sec_marginal` details are the stable "
-            "chip-side rates. Train rows carry a roofline column: "
+            "chip-side rates. Batch-1 wall is fully attributed: one fused "
+            "dispatch per generate, and the residual over on-device time "
+            "equals the measured trivial-dispatch RTT floor "
+            "(scripts/probe_decode_wall.py) — nothing host-side left to "
+            "cut. Train rows carry a roofline column: "
             "`tflops_per_sec` counts the matmul FLOPs the dense paths "
             "actually issue (full S² attention, bwd = 2× fwd) over the "
             "step time, and `pct_peak_bf16` is that against the chip's "
