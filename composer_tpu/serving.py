@@ -146,14 +146,31 @@ class GenerationService:
     def _run(self):
         import time as time_module
 
+        # One dispatched-but-unfetched batch stays in flight: batch k+1 is
+        # coalesced and dispatched BEFORE batch k's tokens are fetched, so
+        # under load the device starts the next program while the previous
+        # results cross the host link (this environment's remote tunnel
+        # costs ~24 ms per round-trip — a third of a batch-8 generation).
+        # The continuous engine hides the same latency with two decode
+        # segments in flight; this is the run-to-completion analogue.
+        inflight = None
         while True:
-            request = self._queue.get()
+            try:
+                request = self._queue.get(block=inflight is None)
+            except queue.Empty:
+                # Nothing queued while a batch runs: collect it, then block.
+                self._harvest(inflight)
+                inflight = None
+                continue
             if request is None:
+                if inflight is not None:
+                    self._harvest(inflight)
                 return
             batch = [request]
             deferred = []
             signature = self._signature(request)
             deadline = time_module.monotonic() + self.max_wait_s
+            closing = False
             # Coalesce compatible requests until the batch fills or the
             # wait window closes; incompatible ones go back for later.
             while len(batch) < self.max_batch_size:
@@ -165,19 +182,26 @@ class GenerationService:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    for item in deferred:
-                        self._queue.put(item)
-                    self._process(batch)
-                    return
+                    closing = True
+                    break
                 if self._signature(nxt) == signature:
                     batch.append(nxt)
                 else:
                     deferred.append(nxt)
             for item in deferred:
                 self._queue.put(item)
-            self._process(batch)
+            dispatched = self._dispatch(batch)
+            if inflight is not None:
+                self._harvest(inflight)
+            inflight = dispatched
+            if closing:
+                self._harvest(inflight)
+                return
 
-    def _process(self, batch):
+    def _dispatch(self, batch):
+        """Builds the padded batch and queues its generation on the device;
+        returns a snapshot for :meth:`_harvest` (or None if dispatch itself
+        failed — the waiters are already unblocked with the error)."""
         from composer_tpu.train.generate import generate_ids
 
         try:
@@ -223,17 +247,32 @@ class GenerationService:
                 prompt_lengths=plens,
             )
             self.batch_sizes.append(rows)
-            # Row s's generated block starts right after the PADDED prompt
-            # columns; reassemble each response from its real prompt.
-            for row, request in enumerate(batch):
-                generated = np.asarray(ids[row])[width : width + request.length]
-                request.result = np.concatenate([request.prompt_ids, generated])
-                request.done.set()
-                self.requests_completed += 1
+            return batch, ids, width
         except Exception as error:  # surface to every waiter, keep serving
             for request in batch:
                 request.error = error
                 request.done.set()
+            return None
+
+    def _harvest(self, snapshot):
+        """Fetches a dispatched batch's tokens and unblocks its waiters."""
+        if snapshot is None:  # the dispatch already failed its batch
+            return
+        batch, ids, width = snapshot
+        try:
+            ids = np.asarray(ids)  # blocks on the device
+        except Exception as error:
+            for request in batch:
+                request.error = error
+                request.done.set()
+            return
+        # Row s's generated block starts right after the PADDED prompt
+        # columns; reassemble each response from its real prompt.
+        for row, request in enumerate(batch):
+            generated = ids[row, width : width + request.length]
+            request.result = np.concatenate([request.prompt_ids, generated])
+            request.done.set()
+            self.requests_completed += 1
 
 
 class ContinuousGenerationService:
