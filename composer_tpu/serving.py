@@ -63,6 +63,24 @@ class _Request:
 
 
 
+def _drain_queue(q: "queue.Queue") -> None:
+    """Fails any requests still queued when a service shuts down — their
+    submitters are blocked on ``done.wait()`` and must not hang forever."""
+    while True:
+        try:
+            leftover = q.get_nowait()
+        except queue.Empty:
+            return
+        if leftover is None:
+            continue
+        leftover.error = InvalidParameterError(
+            "The generation service was closed before this request ran."
+        )
+        if leftover.chunks is not None:
+            leftover.chunks.put(None)
+        leftover.done.set()
+
+
 def _pow2_ceil(n: int) -> int:
     size = 1
     while size < n:
@@ -90,6 +108,7 @@ class GenerationService:
         self.requests_completed = 0
         self._seed = seed
         self._seed_lock = threading.Lock()
+        self._closed = False
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="generation-worker", daemon=True
@@ -112,6 +131,8 @@ class GenerationService:
         request = _Request(
             prompt, int(length), float(temperature), int(top_k), float(top_p)
         )
+        if self._closed:
+            raise InvalidParameterError("The generation service is closed.")
         self._queue.put(request)
         request.done.wait()
         if request.error is not None:
@@ -119,8 +140,10 @@ class GenerationService:
         return request.result
 
     def close(self):
+        self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=30)
+        _drain_queue(self._queue)
 
     # ------------------------------------------------------------------ worker
     def _next_seed(self) -> int:
@@ -376,6 +399,7 @@ class ContinuousGenerationService:
         self.batch_sizes = []  # active rows per segment, for observability
         self.requests_completed = 0
 
+        self._closed = False
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="continuous-generation-worker", daemon=True
@@ -390,6 +414,8 @@ class ContinuousGenerationService:
             prompt, int(length), float(temperature), int(top_k), float(top_p)
         )
         self._validate(request)
+        if self._closed:
+            raise InvalidParameterError("The generation service is closed.")
         self._queue.put(request)
         request.done.wait()
         if request.error is not None:
@@ -406,6 +432,8 @@ class ContinuousGenerationService:
         probe = _Request(prompt, int(length), float(temperature),
                          int(top_k), float(top_p))
         self._validate(probe)
+        if self._closed:
+            raise InvalidParameterError("The generation service is closed.")
         probe.chunks = queue.Queue()
         self._queue.put(probe)
 
@@ -422,8 +450,10 @@ class ContinuousGenerationService:
         return chunk_iter()
 
     def close(self):
+        self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=60)
+        _drain_queue(self._queue)
 
     def _validate(self, request: _Request):
         prompt, length = request.prompt_ids, request.length

@@ -430,3 +430,69 @@ def test_continuous_rejects_oversize_and_bad_requests(continuous_service):
         service.submit([1, 2], 100_000)
     with pytest.raises(InvalidParameterError):
         service.submit([VOCAB + 1], 4)
+
+
+def test_close_never_strands_waiters():
+    """Shutdown semantics: submits racing a close() either complete or raise
+    the shutdown error — no waiter hangs — and submits AFTER close are
+    rejected immediately (both engines)."""
+    import jax
+
+    from composer_tpu.exceptions import InvalidParameterError
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    # A long coalescing window keeps the worker holding the first request
+    # while the rest (incompatible signatures -> separate batches) queue
+    # behind the close sentinel.
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=4, max_wait_ms=200.0,
+    )
+    outcomes = [None] * 4
+
+    def call(i):
+        try:
+            outcomes[i] = ("ok", service.submit([3 + i], length=2 + 2 * i))
+        except InvalidParameterError as error:
+            outcomes[i] = ("closed", str(error))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    service.close()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "a submit() hung across close()"
+    for status, value in outcomes:
+        assert status in ("ok", "closed")
+        if status == "closed":
+            assert "closed" in value
+    with pytest.raises(InvalidParameterError, match="closed"):
+        service.submit([1, 2], length=2)
+
+
+def test_continuous_close_rejects_new_submits():
+    import jax
+
+    from composer_tpu.exceptions import InvalidParameterError
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128,
+    )
+    service.close()
+    with pytest.raises(InvalidParameterError, match="closed"):
+        service.submit([1, 2], 4)
+    with pytest.raises(InvalidParameterError, match="closed"):
+        service.submit_stream([1, 2], 4)
