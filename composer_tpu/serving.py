@@ -109,6 +109,11 @@ class GenerationService:
         self._seed = seed
         self._seed_lock = threading.Lock()
         self._closed = False
+        # Guards the closed-check-then-enqueue pair in submit() against
+        # close(): without it a submitter could pass the check, lose the CPU
+        # while close() drains the queue, and then enqueue into a dead
+        # service — its done.wait() would hang forever.
+        self._submit_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="generation-worker", daemon=True
@@ -131,17 +136,22 @@ class GenerationService:
         request = _Request(
             prompt, int(length), float(temperature), int(top_k), float(top_p)
         )
-        if self._closed:
-            raise InvalidParameterError("The generation service is closed.")
-        self._queue.put(request)
+        # Check-and-enqueue is atomic vs close(): a request either lands
+        # before the shutdown sentinel (the worker or the drain handles it)
+        # or is rejected here — never enqueued into a drained queue.
+        with self._submit_lock:
+            if self._closed:
+                raise InvalidParameterError("The generation service is closed.")
+            self._queue.put(request)
         request.done.wait()
         if request.error is not None:
             raise request.error
         return request.result
 
     def close(self):
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._queue.put(None)
         self._worker.join(timeout=30)
         _drain_queue(self._queue)
 
@@ -400,6 +410,8 @@ class ContinuousGenerationService:
         self.requests_completed = 0
 
         self._closed = False
+        # Same check-then-enqueue guard as GenerationService (see there).
+        self._submit_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="continuous-generation-worker", daemon=True
@@ -414,9 +426,10 @@ class ContinuousGenerationService:
             prompt, int(length), float(temperature), int(top_k), float(top_p)
         )
         self._validate(request)
-        if self._closed:
-            raise InvalidParameterError("The generation service is closed.")
-        self._queue.put(request)
+        with self._submit_lock:
+            if self._closed:
+                raise InvalidParameterError("The generation service is closed.")
+            self._queue.put(request)
         request.done.wait()
         if request.error is not None:
             raise request.error
@@ -432,10 +445,11 @@ class ContinuousGenerationService:
         probe = _Request(prompt, int(length), float(temperature),
                          int(top_k), float(top_p))
         self._validate(probe)
-        if self._closed:
-            raise InvalidParameterError("The generation service is closed.")
         probe.chunks = queue.Queue()
-        self._queue.put(probe)
+        with self._submit_lock:
+            if self._closed:
+                raise InvalidParameterError("The generation service is closed.")
+            self._queue.put(probe)
 
         def chunk_iter():
             yield [int(t) for t in prompt]
@@ -450,8 +464,9 @@ class ContinuousGenerationService:
         return chunk_iter()
 
     def close(self):
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._queue.put(None)
         self._worker.join(timeout=60)
         _drain_queue(self._queue)
 

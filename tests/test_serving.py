@@ -456,7 +456,9 @@ def test_close_never_strands_waiters():
 
     def call(i):
         try:
-            outcomes[i] = ("ok", service.submit([3 + i], length=2 + 2 * i))
+            # Lengths 2/3/5/9 bucket to distinct powers of two (2/4/8/16),
+            # so none of the four requests can coalesce into one batch.
+            outcomes[i] = ("ok", service.submit([3 + i], length=[2, 3, 5, 9][i]))
         except InvalidParameterError as error:
             outcomes[i] = ("closed", str(error))
 
