@@ -43,17 +43,24 @@ for _name, _val in [("int", int), ("float", float), ("bool", bool)]:
         setattr(np, _name, _val)
 
 if "pretty_midi" not in sys.modules:
-    _pm = types.ModuleType("pretty_midi")
+    # Prefer the REAL library when the environment has one (it makes the
+    # reference's MIDI I/O live and auto-activates the cross-library tests
+    # in tests/test_pretty_midi_compat.py); fall back to a stub so the
+    # reference package still imports without it.
+    try:  # pragma: no cover - environment-dependent
+        import pretty_midi  # noqa: F401
+    except ImportError:
+        _pm = types.ModuleType("pretty_midi")
 
-    class _Unavailable:  # pragma: no cover - only hit if MIDI I/O is called
-        def __init__(self, *a, **k):
-            raise RuntimeError("pretty_midi is stubbed out in this environment")
+        class _Unavailable:  # pragma: no cover - only hit if MIDI I/O is called
+            def __init__(self, *a, **k):
+                raise RuntimeError("pretty_midi is stubbed out in this environment")
 
-    _pm.PrettyMIDI = _Unavailable
-    _pm.Instrument = _Unavailable
-    _pm.Note = _Unavailable
-    _pm.ControlChange = _Unavailable
-    sys.modules["pretty_midi"] = _pm
+        _pm.PrettyMIDI = _Unavailable
+        _pm.Instrument = _Unavailable
+        _pm.Note = _Unavailable
+        _pm.ControlChange = _Unavailable
+        sys.modules["pretty_midi"] = _pm
 
 if REFERENCE_ROOT not in sys.path:
     sys.path.insert(0, REFERENCE_ROOT)
