@@ -638,8 +638,15 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
 @click.option("--serve-cache-len", default=2048,
               help="Continuous mode: per-slot KV capacity; bounds "
                    "prompt + length per request. Defaults to 2048.")
+@click.option("--max-queue-depth", default=0,
+              help="Most requests allowed to wait in the serving queue; "
+                   "submits beyond it get HTTP 429. 0 (default) = unbounded.")
+@click.option("--default-deadline-ms", default=0.0,
+              help="Deadline applied to requests that send no 'deadline_ms'; "
+                   "expiry returns HTTP 503. 0 (default) = none.")
 def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
-          default_length, continuous, seg_steps, serve_cache_len):
+          default_length, continuous, seg_steps, serve_cache_len,
+          max_queue_depth, default_deadline_ms):
     """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
 
     Restores the model once, keeps it resident on the device, and coalesces
@@ -672,12 +679,15 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
             trainer.model, model_type, variables, vocab.size,
             slots=max_batch_size, seg_steps=seg_steps,
             cache_len=serve_cache_len, seed=get_seed(),
+            max_queue_depth=max_queue_depth,
+            default_deadline_ms=default_deadline_ms,
         )
     else:
         service = GenerationService(
             trainer.model, model_type, variables, vocab.size,
             max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
-            seed=get_seed(),
+            seed=get_seed(), max_queue_depth=max_queue_depth,
+            default_deadline_ms=default_deadline_ms,
         )
     server = build_server(
         service, config, host=host, port=port, default_length=default_length,

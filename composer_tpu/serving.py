@@ -38,12 +38,19 @@ import json
 import logging
 import queue
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
-from composer_tpu.exceptions import InvalidParameterError
+from composer_tpu.exceptions import (
+    DeadlineExceededError,
+    InvalidParameterError,
+    RequestCancelledError,
+    ServiceOverloadedError,
+)
 from composer_tpu.models import ModelType
 
 
@@ -60,25 +67,24 @@ class _Request:
     # Streaming: when set, every token chunk is pushed here as it is
     # harvested (continuous engine: once per segment); None terminates.
     chunks: Optional["queue.Queue"] = None
+    # Overload control: absolute monotonic deadline (None = none) and a
+    # cancellation flag (set by the waiter on timeout, by a disconnecting
+    # streaming client, or by the caller). The worker skips cancelled/
+    # expired requests at batch formation; the continuous engine also
+    # evicts their rows at segment boundaries.
+    deadline: Optional[float] = None
+    cancel: threading.Event = dataclasses.field(default_factory=threading.Event)
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+    # Set by the waiter when ITS deadline wait timed out (so the worker's
+    # later drop of the same request counts as expired, not cancelled).
+    expired: bool = False
 
 
-
-def _drain_queue(q: "queue.Queue") -> None:
-    """Fails any requests still queued when a service shuts down — their
-    submitters are blocked on ``done.wait()`` and must not hang forever."""
-    while True:
-        try:
-            leftover = q.get_nowait()
-        except queue.Empty:
-            return
-        if leftover is None:
-            continue
-        leftover.error = InvalidParameterError(
-            "The generation service was closed before this request ran."
-        )
-        if leftover.chunks is not None:
-            leftover.chunks.put(None)
-        leftover.done.set()
+def _fail(request: _Request, error: Exception) -> None:
+    request.error = error
+    if request.chunks is not None:
+        request.chunks.put(None)
+    request.done.set()
 
 
 def _pow2_ceil(n: int) -> int:
@@ -92,12 +98,145 @@ def _bucket(n: int, cap: int) -> int:
     return min(_pow2_ceil(n), max(cap, n))
 
 
-class GenerationService:
+class _OverloadControlMixin:
+    """Bounded-queue admission, per-request deadlines, cancellation and
+    latency/queue gauges, shared by both serving engines.
+
+    Beyond the reference (whose decode loop was a CLI foreground call,
+    cli.py:662-676): without these, a client flood queues unboundedly and
+    every waiter blocks forever — the round-3 engines' documented gap.
+    """
+
+    def _init_overload(self, max_queue_depth: int,
+                       default_deadline_ms: float) -> None:
+        # 0 disables each control (the round-3 behaviour).
+        self.max_queue_depth = max(0, int(max_queue_depth))
+        self.default_deadline_s = max(0.0, float(default_deadline_ms) / 1000.0)
+        self._pending = 0  # submitted but not yet dispatched/admitted
+        self.requests_rejected = 0
+        self.requests_expired = 0
+        self.requests_cancelled = 0
+        self._latencies = deque(maxlen=512)  # seconds, completed requests
+
+    def _enqueue(self, request: _Request) -> None:
+        """Admission: atomic wrt close() AND the queue-depth bound."""
+        with self._submit_lock:
+            if self._closed:
+                raise InvalidParameterError("The generation service is closed.")
+            if self.max_queue_depth and self._pending >= self.max_queue_depth:
+                self.requests_rejected += 1
+                raise ServiceOverloadedError(
+                    f"Serving queue is full ({self._pending} requests "
+                    f"pending, limit {self.max_queue_depth}); retry later."
+                )
+            self._pending += 1
+            self._queue.put(request)
+
+    def _deadline_from(self, deadline_ms) -> Optional[float]:
+        if deadline_ms is None:
+            seconds = self.default_deadline_s
+        else:
+            seconds = float(deadline_ms) / 1000.0
+            if seconds <= 0:
+                raise InvalidParameterError("deadline_ms must be positive.")
+        return time.monotonic() + seconds if seconds > 0 else None
+
+    def _await(self, request: _Request) -> np.ndarray:
+        """Blocks the submitter; enforces the deadline from the waiting side
+        too, so a client gets its 503 promptly even while the worker is busy
+        with a long device program."""
+        if request.deadline is None:
+            request.done.wait()
+        else:
+            finished = request.done.wait(
+                timeout=max(request.deadline - time.monotonic(), 0.0)
+            )
+            if not finished:
+                request.expired = True
+                request.cancel.set()  # the worker drops/evicts it when seen
+                with self._submit_lock:
+                    self.requests_expired += 1
+                raise DeadlineExceededError(
+                    f"Request deadline expired after "
+                    f"{time.monotonic() - request.submitted_at:.3f}s "
+                    f"(queue depth {self._pending})."
+                )
+        if request.error is not None:
+            raise request.error
+        return request.result
+
+    def _take_pending(self, count: int = 1) -> None:
+        with self._submit_lock:
+            self._pending -= count
+
+    def _admissible(self, request: _Request) -> bool:
+        """Worker-side gate: fails (and counts) cancelled/expired requests
+        instead of spending device time on them. Callers must have already
+        accounted the request out of the pending gauge."""
+        if request.cancel.is_set():
+            # The waiter may have timed out (already counted as expired
+            # there) or the client cancelled/vanished.
+            if not request.expired:
+                with self._submit_lock:
+                    self.requests_cancelled += 1
+            _fail(request, RequestCancelledError(
+                "Request was cancelled before it ran."
+            ))
+            return False
+        if request.deadline is not None and time.monotonic() > request.deadline:
+            with self._submit_lock:
+                self.requests_expired += 1
+            _fail(request, DeadlineExceededError(
+                "Request deadline expired while queued."
+            ))
+            return False
+        return True
+
+    def _record_completion(self, request: _Request) -> None:
+        self.requests_completed += 1
+        self._latencies.append(time.monotonic() - request.submitted_at)
+
+    def overload_stats(self) -> dict:
+        latencies = sorted(self._latencies)
+
+        def pct(q: float):
+            if not latencies:
+                return None
+            return latencies[min(int(q * len(latencies)), len(latencies) - 1)]
+
+        return {
+            "queue_depth": int(self._pending),
+            "max_queue_depth": self.max_queue_depth,
+            "requests_rejected": int(self.requests_rejected),
+            "requests_expired": int(self.requests_expired),
+            "requests_cancelled": int(self.requests_cancelled),
+            "latency_p50_s": pct(0.50),
+            "latency_p95_s": pct(0.95),
+        }
+
+    def _drain_queue(self) -> None:
+        """Fails any requests still queued at shutdown — their submitters
+        are blocked on ``done.wait()`` and must not hang forever."""
+        while True:
+            try:
+                leftover = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if leftover is None:
+                continue
+            self._take_pending()
+            _fail(leftover, InvalidParameterError(
+                "The generation service was closed before this request ran."
+            ))
+
+
+class GenerationService(_OverloadControlMixin):
     """Batches concurrent generation requests through one device worker."""
 
     def __init__(self, model, model_type: ModelType, variables,
                  vocab_size: int, max_batch_size: int = 8,
-                 max_wait_ms: float = 20.0, seed: int = 0):
+                 max_wait_ms: float = 20.0, seed: int = 0,
+                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0):
         self.model = model
         self.model_type = model_type
         self.variables = variables
@@ -112,8 +251,10 @@ class GenerationService:
         # Guards the closed-check-then-enqueue pair in submit() against
         # close(): without it a submitter could pass the check, lose the CPU
         # while close() drains the queue, and then enqueue into a dead
-        # service — its done.wait() would hang forever.
+        # service — its done.wait() would hang forever. Also guards the
+        # overload gauges (_OverloadControlMixin).
         self._submit_lock = threading.Lock()
+        self._init_overload(max_queue_depth, default_deadline_ms)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="generation-worker", daemon=True
@@ -122,8 +263,15 @@ class GenerationService:
 
     # ------------------------------------------------------------------ public
     def submit(self, prompt_ids, length: int, temperature: float = 1.0,
-               top_k: int = 0, top_p: float = 0.0) -> np.ndarray:
-        """Blocks until the request is generated; returns prompt + new ids."""
+               top_k: int = 0, top_p: float = 0.0, deadline_ms=None,
+               cancel: Optional[threading.Event] = None) -> np.ndarray:
+        """Blocks until the request is generated; returns prompt + new ids.
+
+        ``deadline_ms`` bounds the TOTAL time (queue + device); expiry
+        raises :class:`DeadlineExceededError` (the service default applies
+        when None). ``cancel`` is an optional external cancellation flag —
+        once set, the worker drops the request instead of running it.
+        """
         prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
         if prompt.size == 0:
             raise InvalidParameterError("Prompt must contain at least one event.")
@@ -134,26 +282,20 @@ class GenerationService:
         if length <= 0:
             raise InvalidParameterError("length must be positive.")
         request = _Request(
-            prompt, int(length), float(temperature), int(top_k), float(top_p)
+            prompt, int(length), float(temperature), int(top_k), float(top_p),
+            deadline=self._deadline_from(deadline_ms),
         )
-        # Check-and-enqueue is atomic vs close(): a request either lands
-        # before the shutdown sentinel (the worker or the drain handles it)
-        # or is rejected here — never enqueued into a drained queue.
-        with self._submit_lock:
-            if self._closed:
-                raise InvalidParameterError("The generation service is closed.")
-            self._queue.put(request)
-        request.done.wait()
-        if request.error is not None:
-            raise request.error
-        return request.result
+        if cancel is not None:
+            request.cancel = cancel
+        self._enqueue(request)
+        return self._await(request)
 
     def close(self):
         with self._submit_lock:
             self._closed = True
             self._queue.put(None)
         self._worker.join(timeout=30)
-        _drain_queue(self._queue)
+        self._drain_queue()
 
     # ------------------------------------------------------------------ worker
     def _next_seed(self) -> int:
@@ -199,6 +341,9 @@ class GenerationService:
                 if inflight is not None:
                     self._harvest(inflight)
                 return
+            self._take_pending()
+            if not self._admissible(request):  # cancelled/expired while queued
+                continue
             batch = [request]
             deferred = []
             signature = self._signature(request)
@@ -217,11 +362,17 @@ class GenerationService:
                 if nxt is None:
                     closing = True
                     break
+                self._take_pending()
+                if not self._admissible(nxt):
+                    continue
                 if self._signature(nxt) == signature:
                     batch.append(nxt)
                 else:
                     deferred.append(nxt)
             for item in deferred:
+                # Back into the queue (and the depth gauge) for a later batch.
+                with self._submit_lock:
+                    self._pending += 1
                 self._queue.put(item)
             dispatched = self._dispatch(batch)
             if inflight is not None:
@@ -305,10 +456,10 @@ class GenerationService:
             generated = ids[row, width : width + request.length]
             request.result = np.concatenate([request.prompt_ids, generated])
             request.done.set()
-            self.requests_completed += 1
+            self._record_completion(request)
 
 
-class ContinuousGenerationService:
+class ContinuousGenerationService(_OverloadControlMixin):
     """Continuous batching: requests join a RUNNING batch at segment
     boundaries instead of waiting for the current batch to finish.
 
@@ -334,7 +485,8 @@ class ContinuousGenerationService:
                  vocab_size: int, slots: int = 8, seg_steps: int = 64,
                  cache_len: int = 2048, seed: int = 0,
                  interpret: Optional[bool] = None, dtype=None,
-                 kv_vmem_mb: float = 64.0):
+                 kv_vmem_mb: float = 64.0,
+                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0):
         if model_type != ModelType.TRANSFORMER:
             raise InvalidParameterError(
                 "Continuous batching requires a transformer model."
@@ -412,6 +564,7 @@ class ContinuousGenerationService:
         self._closed = False
         # Same check-then-enqueue guard as GenerationService (see there).
         self._submit_lock = threading.Lock()
+        self._init_overload(max_queue_depth, default_deadline_ms)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="continuous-generation-worker", daemon=True
@@ -420,36 +573,36 @@ class ContinuousGenerationService:
 
     # ------------------------------------------------------------------ public
     def submit(self, prompt_ids, length: int, temperature: float = 1.0,
-               top_k: int = 0, top_p: float = 0.0) -> np.ndarray:
+               top_k: int = 0, top_p: float = 0.0, deadline_ms=None,
+               cancel: Optional[threading.Event] = None) -> np.ndarray:
         prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
         request = _Request(
-            prompt, int(length), float(temperature), int(top_k), float(top_p)
+            prompt, int(length), float(temperature), int(top_k), float(top_p),
+            deadline=self._deadline_from(deadline_ms),
         )
+        if cancel is not None:
+            request.cancel = cancel
         self._validate(request)
-        with self._submit_lock:
-            if self._closed:
-                raise InvalidParameterError("The generation service is closed.")
-            self._queue.put(request)
-        request.done.wait()
-        if request.error is not None:
-            raise request.error
-        return request.result
+        self._enqueue(request)
+        return self._await(request)
 
     def submit_stream(self, prompt_ids, length: int, temperature: float = 1.0,
-                      top_k: int = 0, top_p: float = 0.0):
+                      top_k: int = 0, top_p: float = 0.0, deadline_ms=None,
+                      cancel: Optional[threading.Event] = None):
         """Like :meth:`submit`, but yields token chunks as segments complete
         (the first chunk is the prompt echo), instead of blocking until the
         whole generation is done. Raises the generation error, if any, at
-        the point it occurs."""
+        the point it occurs. Setting ``cancel`` mid-stream evicts the row at
+        the next segment boundary (a disconnecting HTTP client does this)."""
         prompt = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
         probe = _Request(prompt, int(length), float(temperature),
-                         int(top_k), float(top_p))
+                         int(top_k), float(top_p),
+                         deadline=self._deadline_from(deadline_ms))
+        if cancel is not None:
+            probe.cancel = cancel
         self._validate(probe)
         probe.chunks = queue.Queue()
-        with self._submit_lock:
-            if self._closed:
-                raise InvalidParameterError("The generation service is closed.")
-            self._queue.put(probe)
+        self._enqueue(probe)
 
         def chunk_iter():
             yield [int(t) for t in prompt]
@@ -468,7 +621,7 @@ class ContinuousGenerationService:
             self._closed = True
             self._queue.put(None)
         self._worker.join(timeout=60)
-        _drain_queue(self._queue)
+        self._drain_queue()
 
     def _validate(self, request: _Request):
         prompt, length = request.prompt_ids, request.length
@@ -577,7 +730,32 @@ class ContinuousGenerationService:
                 if request.chunks is not None:
                     request.chunks.put(None)
                 request.done.set()
-                self.requests_completed += 1
+                self._record_completion(request)
+                self._evict(slot)
+
+    def _abandon_rows(self):
+        """Evicts running rows whose requests were cancelled (streaming
+        client gone, waiter deadline timeout, explicit cancel) or whose
+        deadline expired — segment-boundary cancellation, so an abandoned
+        long generation stops consuming its slot."""
+        now = time.monotonic()
+        for slot, request in enumerate(self._requests):
+            if request is None:
+                continue
+            if request.cancel.is_set():
+                if not request.expired:
+                    with self._submit_lock:
+                        self.requests_cancelled += 1
+                _fail(request, RequestCancelledError(
+                    "Request was cancelled mid-generation."
+                ))
+                self._evict(slot)
+            elif request.deadline is not None and now > request.deadline:
+                with self._submit_lock:
+                    self.requests_expired += 1
+                _fail(request, DeadlineExceededError(
+                    "Request deadline expired mid-generation."
+                ))
                 self._evict(slot)
 
     def _run(self):
@@ -597,7 +775,11 @@ class ContinuousGenerationService:
                 if nxt is None:
                     closing = True
                     break
+                self._take_pending()
+                if not self._admissible(nxt):
+                    continue
                 self._admit(nxt, free[0])
+            self._abandon_rows()
 
             if all(r is None for r in self._requests):
                 # Nothing active: drop any still-queued segments (their rows
@@ -732,6 +914,7 @@ class _Handler(BaseHTTPRequestHandler):
             "backend": jax.default_backend(),
             "max_batch_size": service.max_batch_size,
             "requests_served": int(service.requests_completed),
+            **service.overload_stats(),
         })
 
     def do_POST(self):
@@ -751,6 +934,7 @@ class _Handler(BaseHTTPRequestHandler):
                 temperature=float(body.get("temperature", defaults["temperature"])),
                 top_k=int(body.get("top_k", 0)),
                 top_p=float(body.get("top_p", 0.0)),
+                deadline_ms=body.get("deadline_ms"),
             )
             if body.get("stream"):
                 if body.get("return_midi", "midi_base64" in body):
@@ -759,6 +943,11 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 return self._stream(type(self).service, prompt_ids, kwargs)
             ids = type(self).service.submit(prompt_ids, **kwargs)
+        except ServiceOverloadedError as error:
+            # Backpressure: the client should retry with backoff.
+            return self._reply(429, {"error": str(error)})
+        except DeadlineExceededError as error:
+            return self._reply(503, {"error": str(error)})
         except InvalidParameterError as error:
             return self._reply(400, {"error": str(error)})
         except (ValueError, TypeError, json.JSONDecodeError) as error:
@@ -779,8 +968,9 @@ class _Handler(BaseHTTPRequestHandler):
         engine emits the whole generation as one chunk. Parameter errors
         raise before any header is written (submit_stream validates
         eagerly), so clients still get a clean 400 for those."""
+        cancel = threading.Event()
         if hasattr(service, "submit_stream"):
-            chunks = service.submit_stream(prompt_ids, **kwargs)
+            chunks = service.submit_stream(prompt_ids, cancel=cancel, **kwargs)
         else:
             ids = service.submit(prompt_ids, **kwargs)
             chunks = iter([[int(i) for i in ids]])
@@ -794,9 +984,19 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self.wfile.flush()
             self.wfile.write(json.dumps({"done": True}).encode() + b"\n")
+        except (BrokenPipeError, ConnectionResetError):
+            # The client hung up: stop the generation — the continuous
+            # engine evicts the row at the next segment boundary instead of
+            # decoding tokens nobody will read.
+            cancel.set()
+            logging.debug("serve: streaming client disconnected; cancelled")
         except Exception as error:  # mid-stream failure: headers already out
+            cancel.set()
             logging.exception("serve: streaming generation failed")
-            self.wfile.write(json.dumps({"error": str(error)}).encode() + b"\n")
+            try:
+                self.wfile.write(json.dumps({"error": str(error)}).encode() + b"\n")
+            except OSError:
+                pass
 
 
 def build_server(service: GenerationService, config, host: str = "127.0.0.1",

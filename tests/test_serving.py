@@ -498,3 +498,160 @@ def test_continuous_close_rejects_new_submits():
         service.submit([1, 2], 4)
     with pytest.raises(InvalidParameterError, match="closed"):
         service.submit_stream([1, 2], 4)
+
+
+# --------------------------------------------------------------- overload
+def _tiny_model():
+    import jax
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    ))
+    return model, model.init_params(jax.random.PRNGKey(0), 1, 8)
+
+
+def test_bounded_queue_rejects_when_full():
+    """Submits beyond max_queue_depth raise ServiceOverloadedError instead
+    of queueing unboundedly; the reject is counted in the gauges."""
+    from composer_tpu.exceptions import ServiceOverloadedError
+
+    model, params = _tiny_model()
+    # A long coalescing window keeps the worker holding the first request
+    # while the flood lands in the queue.
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=1, max_wait_ms=500.0, max_queue_depth=2,
+    )
+    try:
+        outcomes = []
+        lock = threading.Lock()
+
+        def call(i):
+            try:
+                service.submit([3 + i], length=2)
+                with lock:
+                    outcomes.append("ok")
+            except ServiceOverloadedError:
+                with lock:
+                    outcomes.append("rejected")
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive()
+        assert "rejected" in outcomes  # 8 racing submits into depth 2
+        assert outcomes.count("ok") >= 2
+        stats = service.overload_stats()
+        assert stats["requests_rejected"] == outcomes.count("rejected")
+        assert stats["max_queue_depth"] == 2
+    finally:
+        service.close()
+    # Every admitted request completed; the queue gauge returns to zero.
+    assert service.overload_stats()["queue_depth"] == 0
+
+
+def test_deadline_expires_in_queue():
+    """A request whose deadline passes while queued fails with
+    DeadlineExceededError — promptly (waiter-side timeout), not only when
+    the worker eventually looks at it."""
+    import time as time_module
+
+    from composer_tpu.exceptions import DeadlineExceededError
+
+    model, params = _tiny_model()
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=2, max_wait_ms=2000.0,
+    )
+    try:
+        # Occupy the worker's 2s coalescing window with a no-deadline
+        # request; the victim's INCOMPATIBLE signature (different length
+        # bucket) keeps it queued behind the window.
+        blocker = threading.Thread(
+            target=lambda: service.submit([1], length=2)
+        )
+        blocker.start()
+        time_module.sleep(0.1)
+        started = time_module.monotonic()
+        with pytest.raises(DeadlineExceededError):
+            service.submit([2], length=60, deadline_ms=200)
+        assert time_module.monotonic() - started < 1.9  # before the window
+        blocker.join(timeout=120)
+        assert service.overload_stats()["requests_expired"] == 1
+    finally:
+        service.close()
+
+
+def test_cancel_drops_request_before_dispatch():
+    from composer_tpu.exceptions import RequestCancelledError
+
+    model, params = _tiny_model()
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=1, max_wait_ms=500.0,
+    )
+    try:
+        cancel = threading.Event()
+        cancel.set()  # cancelled before the worker ever sees it
+        with pytest.raises(RequestCancelledError):
+            service.submit([1], length=2, cancel=cancel)
+        assert service.overload_stats()["requests_cancelled"] == 1
+    finally:
+        service.close()
+
+
+def test_continuous_deadline_evicts_mid_generation():
+    """Continuous engine: a deadline expiring mid-generation evicts the row
+    at a segment boundary and frees the slot for later requests."""
+    import jax
+
+    from composer_tpu.exceptions import DeadlineExceededError
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128,
+    )
+    try:
+        # Interpret-mode segments take ~seconds each; a 50-token request
+        # with a short deadline cannot finish and must be evicted.
+        with pytest.raises(DeadlineExceededError):
+            service.submit([5, 6], length=50, deadline_ms=500)
+        assert service.overload_stats()["requests_expired"] >= 1
+        # The slot is free again: a short request completes normally.
+        out = service.submit([5, 6], length=3, temperature=0.0)
+        assert len(out) == 5
+    finally:
+        service.close()
+
+
+def test_http_overload_status_codes(server):
+    """HTTP mapping: queue-full -> 429, deadline -> 503, and the health
+    endpoint carries the overload gauges."""
+    http_server, service = server
+    # Deadline: expires while the worker's coalescing window holds it.
+    hold = threading.Thread(
+        target=lambda: _post(http_server, {"events": [9], "length": 2})
+    )
+    hold.start()
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(http_server, {"events": [8], "length": 2, "deadline_ms": 1})
+    assert err.value.code == 503
+    hold.join(timeout=120)
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{http_server.server_port}/v1/health", timeout=30
+    ) as response:
+        body = json.loads(response.read())
+    assert body["requests_expired"] >= 1
+    assert "queue_depth" in body and "latency_p95_s" in body
+    assert body["latency_p95_s"] > 0
