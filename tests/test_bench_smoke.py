@@ -53,3 +53,28 @@ def test_serving_benchmark_smoke():
     )
     _check_schema(result)
     assert sum(result["detail"]["coalesced_batches"]) == 3
+
+
+def test_poisson_benchmark_smoke():
+    result = bench.run_poisson_serving_benchmark(
+        continuous=True, requests=4, mean_interarrival_ms=5.0,
+        lengths=(4, 6), slots=2, seg_steps=4,
+        embed_dim=32, num_layers=1, cache_len=128, temperature=0.0,
+    )
+    _check_schema(result)
+    assert result["detail"]["occupancy_mean"] > 0
+    assert result["detail"]["offered_events_per_sec"] > 0
+
+
+def test_overload_soak_benchmark_smoke():
+    result = bench.run_overload_soak_benchmark(
+        duration_s=2.0, mean_interarrival_ms=50.0, lengths=(4, 6),
+        slots=2, seg_steps=4, max_queue_depth=2, deadline_ms=60_000.0,
+        embed_dim=32, num_layers=1, cache_len=128, temperature=0.0,
+    )
+    _check_schema(result)
+    detail = result["detail"]
+    assert detail["completed"] >= 1
+    assert detail["final_queue_depth"] == 0
+    assert detail["completed"] + detail["rejected"] + detail["expired"] + \
+        detail["other_errors"] == detail["requests"]
