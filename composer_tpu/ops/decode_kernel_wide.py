@@ -1,0 +1,735 @@
+"""Fused decoding for models whose weights do NOT fit VMEM: wide megakernel.
+
+The resident megakernels (ops/decode_kernel.py, decode_kernel_batched.py)
+hold every layer's packed weights in VMEM for the whole generation — at the
+reference architecture (embed 256) that is ~14 MB, but the flagship scaled
+architecture (embed 1024, head_dim 64 — the best-NLL model of the round-3
+validation runs, docs/validation.md) packs ~200 MB of bf16 weights against
+the chip's ~128 MB VMEM, so the engine router used to fall back to the XLA
+scan (train/generate.py::_packed_weight_bytes). This kernel serves those
+models fused anyway:
+
+* **weights stay in HBM** and stream through double-buffered VMEM scratch —
+  one (E, 8E) block (qkv | attn-proj | mlp-fc packed along columns) plus one
+  (4E, E) mlp-proj block per layer, fetched per token step with layer l+1's
+  DMA issued before layer l computes;
+* **KV caches stay in HBM** (input/output-aliased, carried by the engine
+  between calls) in a lane-stacked (L, C, 2*B*E) layout: one row holds every
+  sequence's k (lanes [0, B*E)) and v (lanes [B*E, 2*B*E)) for that cache
+  slot, so appending a step's K/V for the whole batch is ONE small DMA, and
+  the attention prefix streams back in (Ck, 2*B*E) chunks consumed
+  flash-style (online softmax) — the full prefix never needs VMEM residency,
+  which is what caps the resident kernels' reach;
+* the current position's k/v never round-trips: its score term is computed
+  in-register and merged into the online softmax, so chunk reads only need
+  rows strictly before `position` (written in earlier steps — no RAW hazard
+  with this step's append DMA);
+* the **relative bias** streams too: per (layer, step) one DMA fetches the
+  (live+128)-row band of the skew-layout table that covers the reachable
+  cache slots (same contiguous-run + lane-roll algebra as
+  ops/decode_kernel.py:330-345; the distance-0 term for the in-register
+  current row uses a tiny resident copy of table row window-1);
+* everything else — teacher-forced (optionally ragged) prompts, per-row
+  temperature/top-k/top-p, greedy rows inside sampled batches, the staged
+  `live` growth — matches ops/decode_kernel_batched.py, and under float32
+  params the two kernels (and the XLA scan) produce identical greedy tokens
+  (pinned in tests/test_decode_wide.py).
+
+Per-step HBM traffic is the floor a weights-over-VMEM model must pay from
+ANY engine: all weights once (~192 MB bf16 at embed 1024) + the live KV
+prefix per layer (~2*live*B*E bytes) — the XLA scan pays the same bytes
+plus ~a hundred kernel launches per step and intermediate materialization.
+Optional int8 weight packing (``pack_weights_wide(dtype=jnp.int8)``)
+halves the weight stream with per-output-channel scales folded into the
+matmul epilogue; see quantization notes on that function.
+
+Reference surface: the decode loop this engine replaces ran one eager model
+call per token (reference cli.py:662-676).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composer_tpu.ops.decode_kernel import (
+    NEG_INF,
+    _filtered_scaled_logits,
+    _gelu_tanh,
+    _layernorm,
+    _round_up,
+    _standardize,
+    pack_weights,
+)
+from composer_tpu.ops.decode_kernel_batched import _decode_stages
+
+# Rows per streamed KV chunk. One chunk DMA moves (KV_CHUNK, 2*B*E) — every
+# sequence's k and v for those cache slots; the chunk loop consumes it with
+# an online-softmax merge, so VMEM holds at most two chunks regardless of
+# the live prefix length.
+KV_CHUNK = 512
+
+
+def _wide_matmul(x, w_ref_slice, scale=None):
+    """x (rows, K) f32 @ streamed weight block (K, N) -> (rows, N) f32.
+
+    ``scale`` (1, N) multiplies the OUTPUT — the int8 per-output-channel
+    dequantization epilogue (y = (x @ Wq) * s); None for bf16/f32 weights.
+    """
+    w = w_ref_slice[...]
+    if w.dtype == jnp.int8:
+        # int8 operands don't feed the MXU through this lowering; one VPU
+        # cast to bf16 per use (the DMA already paid half the HBM bytes).
+        w = w.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        x.astype(w.dtype), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale is not None:
+        out = out * scale
+    return out
+
+
+def _wide_kernel(
+    # scalar prefetch (SMEM)
+    prompt_ref, plen_ref, seed_ref, temp_ref, topk_ref, topp_ref,
+    # tensor inputs: small VMEM-resident operands
+    wte_ref, wte_t_ref, wpe_ref, ln1_ref,
+    qkv_b_ref, proj_b_ref, fc_b_ref, fp_b_ref, logits_b_ref,
+    wscale_ref, fpscale_ref, rel0_ref,
+    # tensor inputs: HBM-resident (streamed)
+    big_w_hbm, fp_w_hbm, rel_hbm, kv_hbm_in,
+    # outputs
+    tokens_ref, kv_hbm_out,
+    # scratch
+    big_buf, fp_buf, kv_buf, rel_buf, row_buf,
+    sem_w, sem_kv, sem_rel, sem_row,
+    *, batch: int, num_layers: int, num_heads: int, head_dim: int,
+    embed_dim: int, cache_len: int, window: int, vocab_pad: int,
+    vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
+    greedy: bool, use_rel: bool, quantized: bool,
+    use_k: bool = False, use_p: bool = False,
+):
+    del kv_hbm_in  # aliased: all traffic goes through kv_hbm_out
+    kv = kv_hbm_out
+    B, R, E, C = batch, num_heads, embed_dim, cache_len
+    BE = B * E
+    out_len = tokens_ref.shape[1]
+    lead = _round_up(C, 128)  # rel table's leading zero rows
+
+    plen_col = jnp.concatenate(
+        [jnp.full((1, 1), plen_ref[s], jnp.int32) for s in range(batch)],
+        axis=0,
+    )  # (B, 1)
+
+    if not greedy:
+        pltpu.prng_seed(seed_ref[0])
+        inv_temp_col = jnp.concatenate(
+            [
+                1.0
+                / jnp.full(
+                    (1, 1),
+                    jnp.where(temp_ref[s] > 0.0, temp_ref[s], 1.0),
+                    jnp.float32,
+                )
+                for s in range(batch)
+            ],
+            axis=0,
+        )
+        noise_col = jnp.concatenate(
+            [
+                jnp.full(
+                    (1, 1), jnp.where(temp_ref[s] > 0.0, 1.0, 0.0), jnp.float32
+                )
+                for s in range(batch)
+            ],
+            axis=0,
+        )
+
+    rowmask_one = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) // head_dim
+        == jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+    ).astype(jnp.float32)
+    rowmask = jnp.tile(rowmask_one, (B, 1))  # (B*R, E)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
+    vocab_cols_b = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+    vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
+    wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (R, KV_CHUNK), 1)
+
+    softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
+
+    def expand(x_small):  # (B, n) -> (B*R, n)
+        return jnp.broadcast_to(
+            x_small[:, None, :], (B, R, x_small.shape[1])
+        ).reshape(B * R, x_small.shape[1])
+
+    def collapse(x_wide):  # (B*R, E) -> (B, E) masked head-sum
+        return jnp.sum((x_wide * rowmask).reshape(B, R, E), axis=1)
+
+    def prompt_onehots(i):
+        return jnp.concatenate(
+            [
+                (
+                    vocab_cols_r
+                    == prompt_ref[s, jnp.minimum(i, plen_ref[s] - 1)]
+                ).astype(wte_ref.dtype)
+                for s in range(B)
+            ],
+            axis=0,
+        )  # (B*R, Vpad)
+
+    # ------------------------------------------------------------ DMA plumbing
+    def weight_copies(layer):
+        return [
+            pltpu.make_async_copy(big_w_hbm.at[layer], big_buf.at[layer % 2], sem_w),
+            pltpu.make_async_copy(fp_w_hbm.at[layer], fp_buf.at[layer % 2], sem_w),
+        ]
+
+    def rel_copy(layer, position, live):
+        # The (live+128)-row 128-aligned superset of the band run covering
+        # cache slots [0, live) at this position (decode_kernel.py:330-345).
+        start = lead + window - 1 - position
+        aligned = pl.multiple_of((start // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            rel_hbm.at[layer, pl.ds(aligned, live + 128)],
+            rel_buf.at[layer % 2, pl.ds(0, live + 128)],
+            sem_rel,
+        )
+
+    def kv_chunk_copy(layer, chunk, slot):
+        return pltpu.make_async_copy(
+            kv.at[layer, pl.ds(chunk * KV_CHUNK, KV_CHUNK)],
+            kv_buf.at[slot],
+            sem_kv,
+        )
+
+    def make_step(live):
+        nchunks = -(-live // KV_CHUNK)
+
+        def step(i, onehot):
+            position = i
+
+            # Stream-in prologue: layer 0's weights (+ rel band) and the
+            # first KV chunk; each layer then prefetches its successor's.
+            for copy in weight_copies(0):
+                copy.start()
+            if use_rel:
+                rel_copy(0, position, live).start()
+            kv_chunk_copy(0, 0, 0).start()
+
+            tok_embed = jax.lax.dot_general(
+                onehot, wte_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, E)
+            pos_onehot = (wpe_cols == jnp.minimum(position, window - 1)).astype(
+                wpe_ref.dtype
+            )
+            pos_embed = jax.lax.dot_general(
+                pos_onehot, wpe_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = tok_embed + pos_embed  # (B*R, E)
+
+            for layer in range(num_layers):
+                slot = layer % 2
+                for copy in weight_copies(layer):
+                    copy.wait()
+                if use_rel:
+                    rel_copy(layer, position, live).wait()
+                if layer + 1 < num_layers:
+                    for copy in weight_copies(layer + 1):
+                        copy.start()
+                    if use_rel:
+                        rel_copy(layer + 1, position, live).start()
+
+                x1 = _layernorm(
+                    h, ln1_ref[layer, 0:1, :], ln1_ref[layer, 1:2, :], ln_eps
+                )
+                qkv = _wide_matmul(
+                    x1, big_buf.at[slot, :, 0 : 3 * E],
+                    wscale_ref[layer, 0:1, 0 : 3 * E] if quantized else None,
+                ) + qkv_b_ref[layer].astype(jnp.float32)
+                q = qkv[:, :E]
+                k_small = collapse(qkv[:, E : 2 * E])  # (B, E)
+                v_small = collapse(qkv[:, 2 * E :])
+
+                # Append the step's K/V for the whole batch: ONE row of the
+                # lane-stacked HBM cache, staged through VMEM scratch. The
+                # wait is immediate — later steps' chunk reads must see it.
+                row_buf[0:1, 0:BE] = k_small.reshape(1, BE).astype(row_buf.dtype)
+                row_buf[0:1, BE : 2 * BE] = v_small.reshape(1, BE).astype(
+                    row_buf.dtype
+                )
+                row_write = pltpu.make_async_copy(
+                    row_buf, kv.at[layer, pl.ds(position, 1)], sem_row
+                )
+                row_write.start()
+                row_write.wait()
+
+                qb_f32 = q * rowmask  # (B*R, E)
+                qb = qb_f32.astype(row_buf.dtype)
+
+                if use_rel:
+                    # One shared band matmul + roll for all sequences
+                    # (identical positions), sliced per chunk below.
+                    start_row = lead + window - 1 - position
+                    delta = start_row - (start_row // 128) * 128
+                    band = jax.lax.dot_general(
+                        qb, rel_buf[slot, 0 : live + 128, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (B*R, live+128); lane m = cache slot (m - delta)
+                    rolled = pltpu.roll(band, live + 128 - delta, axis=1)
+
+                # Flash-style chunked attention over the HBM prefix with an
+                # online-softmax merge; the current row joins in-register.
+                m_s = [jnp.full((R, 1), NEG_INF, jnp.float32) for _ in range(B)]
+                l_s = [jnp.zeros((R, 1), jnp.float32) for _ in range(B)]
+                a_s = [jnp.zeros((R, E), jnp.float32) for _ in range(B)]
+                for chunk in range(nchunks):
+                    cslot = (layer * nchunks + chunk) % 2
+                    kv_chunk_copy(layer, chunk, cslot).wait()
+                    if chunk + 1 < nchunks:
+                        kv_chunk_copy(layer, chunk + 1, (cslot + 1) % 2).start()
+                    elif layer + 1 < num_layers:
+                        kv_chunk_copy(layer + 1, 0, (cslot + 1) % 2).start()
+                    base = chunk * KV_CHUNK
+                    for s in range(B):
+                        k_c = kv_buf[cslot, :, s * E : (s + 1) * E]  # (Ck, E)
+                        scores = jax.lax.dot_general(
+                            qb[s * R : (s + 1) * R], k_c,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (R, Ck)
+                        if use_rel:
+                            # The rolled band covers lanes [0, live+128);
+                            # the chunk may overhang (over-read rows are
+                            # masked below) — zero-pad the band slice.
+                            width = min(KV_CHUNK, live + 128 - base)
+                            band_slice = rolled[s * R : (s + 1) * R,
+                                                base : base + width]
+                            if width < KV_CHUNK:
+                                band_slice = jnp.pad(
+                                    band_slice,
+                                    ((0, 0), (0, KV_CHUNK - width)),
+                                )
+                            scores = scores + band_slice
+                        scores = scores * softmax_scale
+                        # STRICTLY below position: the current row is merged
+                        # in-register after the chunk loop (the HBM row at
+                        # `position` was written this step, but excluding it
+                        # here keeps the math independent of DMA timing).
+                        keep = base + chunk_cols < position
+                        scores = jnp.where(keep, scores, NEG_INF)
+                        m_new = jnp.maximum(
+                            m_s[s], jnp.max(scores, axis=1, keepdims=True)
+                        )
+                        # Re-mask after the exp: when the whole chunk is
+                        # masked m_new stays NEG_INF and exp(0) would leak
+                        # weight 1 into every dead column.
+                        p = jnp.where(keep, jnp.exp(scores - m_new), 0.0)
+                        alpha = jnp.exp(m_s[s] - m_new)
+                        v_c = kv_buf[cslot, :, BE + s * E : BE + (s + 1) * E]
+                        a_s[s] = a_s[s] * alpha + jax.lax.dot_general(
+                            p.astype(v_c.dtype), v_c,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        l_s[s] = l_s[s] * alpha + jnp.sum(
+                            p, axis=1, keepdims=True
+                        )
+                        m_s[s] = m_new
+
+                attn_rows = []
+                for s in range(B):
+                    # Current row: score = q . k_cur (+ rel distance 0).
+                    cur = jax.lax.dot_general(
+                        qb[s * R : (s + 1) * R],
+                        k_small[s : s + 1].astype(qb.dtype),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (R, 1)
+                    if use_rel:
+                        cur = cur + jax.lax.dot_general(
+                            qb[s * R : (s + 1) * R], rel0_ref[layer],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    cur = cur * softmax_scale
+                    m_new = jnp.maximum(m_s[s], cur)
+                    alpha = jnp.exp(m_s[s] - m_new)
+                    p_cur = jnp.exp(cur - m_new)  # (R, 1)
+                    acc = a_s[s] * alpha + p_cur * v_small[s : s + 1]
+                    norm = l_s[s] * alpha + p_cur
+                    mixed = acc / norm  # (R, E)
+                    attn_rows.append(
+                        jnp.sum(mixed * rowmask_one, axis=0, keepdims=True)
+                    )
+                attn = expand(jnp.concatenate(attn_rows, axis=0))  # (B*R, E)
+                attn = _wide_matmul(
+                    attn, big_buf.at[slot, :, 3 * E : 4 * E],
+                    wscale_ref[layer, 0:1, 3 * E : 4 * E] if quantized else None,
+                ) + proj_b_ref[layer].astype(jnp.float32)
+                x2 = x1 + attn
+
+                mm = _standardize(x2, ln_eps)
+                hidden = _gelu_tanh(
+                    _wide_matmul(
+                        mm, big_buf.at[slot, :, 4 * E : 8 * E],
+                        wscale_ref[layer, 0:1, 4 * E : 8 * E]
+                        if quantized else None,
+                    ) + fc_b_ref[layer].astype(jnp.float32)
+                )
+                h = x2 + _wide_matmul(
+                    hidden, fp_buf.at[slot],
+                    fpscale_ref[layer] if quantized else None,
+                ) + fp_b_ref[layer].astype(jnp.float32)
+
+            hf = _standardize(h, ln_eps)
+            logits_wide = jax.lax.dot_general(
+                hf.astype(wte_t_ref.dtype), wte_t_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, Vpad)
+            logits = (
+                logits_wide.reshape(B, R, vocab_pad)[:, 0, :] + logits_b_ref[...]
+            )
+
+            kthr = [topk_ref[s] for s in range(B)] if use_k else None
+            pthr = [topp_ref[s] for s in range(B)] if use_p else None
+            if greedy:
+                scored = logits
+                if use_k or use_p:
+                    scored = _filtered_scaled_logits(
+                        scored, kthr, pthr, wte_ref.dtype
+                    )
+            else:
+                scaled = logits * inv_temp_col
+                if use_k or use_p:
+                    scaled = _filtered_scaled_logits(
+                        scaled, kthr, pthr, wte_ref.dtype
+                    )
+                bits = pltpu.prng_random_bits((B, vocab_pad))
+                mantissa = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32
+                )
+                uniform = mantissa.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
+                scored = scaled + (-jnp.log(-jnp.log(uniform))) * noise_col
+
+            peak = jnp.max(scored, axis=1, keepdims=True)
+            next_index = jnp.min(
+                jnp.where(scored == peak, vocab_cols_b, vocab_pad),
+                axis=1, keepdims=True,
+            )  # (B, 1)
+
+            tokens_ref[:] = jnp.where(
+                out_cols == i - (plen_col - 1), next_index, tokens_ref[:]
+            )
+            sampled_onehot = (
+                expand(jnp.broadcast_to(next_index, (B, vocab_pad)))
+                == jax.lax.broadcasted_iota(jnp.int32, (B * R, vocab_pad), 1)
+            ).astype(onehot.dtype)
+            in_prefill = expand((i + 1 < plen_col).astype(jnp.int32)) != 0
+            return jnp.where(in_prefill, prompt_onehots(i + 1), sampled_onehot)
+
+        return step
+
+    carry = prompt_onehots(0)
+    for seg_start, seg_end, live in _decode_stages(cache_len, num_steps):
+        carry = jax.lax.fori_loop(
+            seg_start, seg_end, make_step(live), carry, unroll=False
+        )
+
+
+def pack_weights_wide(params, config, dtype=jnp.bfloat16):
+    """Packs a param tree for the streaming wide kernel.
+
+    Builds on :func:`ops.decode_kernel.pack_weights` (ln_2/ln_f folding,
+    skew-layout rel table) and reshapes for streaming: per layer, qkv,
+    attention-proj and mlp-fc concatenate along columns into one (E, 8E)
+    block (one DMA), mlp-proj stays (4E, E).
+
+    ``dtype=jnp.int8`` quantizes the four streamed matmul blocks
+    per-OUTPUT-CHANNEL symmetric (scale = max|w_col| / 127, folded into the
+    matmul epilogue as a (1, N) multiply), halving the dominant per-step HBM
+    stream. Embeddings/rel table/biases stay bf16 — they are a small share
+    of the traffic, and the logits readout keeps full precision. int8 is
+    NOT bit-identical to the bf16 path (expect token divergence after the
+    first near-tie); validated statistically in tests and by sample quality.
+    """
+    quantized = dtype == jnp.int8
+    base_dtype = jnp.bfloat16 if quantized else dtype
+    base = pack_weights(params, config, dtype=jnp.float32)
+    E = config.embed_dim
+
+    big = jnp.concatenate(
+        [base["qkv_w"], base["proj_w"], base["fc_w"]], axis=2
+    )  # (L, E, 8E) f32
+    fp = base["fp_w"]  # (L, 4E, E) f32
+
+    if quantized:
+        def quantize(w):  # (L, K, N): per-output-channel symmetric int8
+            scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-12)
+            q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)  # (L, 1, N)
+
+        big_q, big_scale = quantize(big)
+        fp_q, fp_scale = quantize(fp)
+    else:
+        big_q, big_scale = big.astype(base_dtype), None
+        fp_q, fp_scale = fp.astype(base_dtype), None
+
+    if config.use_relative_attention:
+        rel0 = base["rel_rows"][:, config.window_size - 1 : config.window_size, :]
+    else:
+        rel0 = jnp.zeros((config.num_layers, 1, E), jnp.float32)
+
+    return {
+        "big_w": big_q,
+        "fp_w": fp_q,
+        "wscale": (
+            big_scale if quantized
+            else jnp.zeros((config.num_layers, 1, 8), jnp.float32)
+        ),
+        "fpscale": (
+            fp_scale if quantized
+            else jnp.zeros((config.num_layers, 1, 8), jnp.float32)
+        ),
+        "wte": base["wte"].astype(base_dtype),
+        "wte_t": base["wte_t"].astype(base_dtype),
+        "wpe": base["wpe"].astype(base_dtype),
+        "ln1": base["ln1"],
+        "qkv_b": base["qkv_b"],
+        "proj_b": base["proj_b"],
+        "fc_b": base["fc_b"],
+        "fp_b": base["fp_b"],
+        "logits_b": base["logits_b"],
+        "rel_rows": base["rel_rows"].astype(base_dtype),
+        "rel0": rel0.astype(base_dtype),
+    }
+
+
+def _cache_rows(cache_len: int) -> int:
+    # KV_CHUNK-aligned HBM rows: the last chunk DMA reads a full chunk and
+    # must stay in bounds (the overhang is softmax-masked, never garbage-fed).
+    return _round_up(cache_len, KV_CHUNK)
+
+
+def init_kv_state(config, batch: int, cache_len: int, dtype=jnp.bfloat16):
+    """Zeroed lane-stacked HBM KV cache (L, rows, 2*B*E), carried by the
+    engine across calls (donated through every kernel invocation). Zeros
+    matter only for the very first call — later calls overwrite every row
+    they read (stale finite values are softmax-masked; NaNs from
+    uninitialized memory would not be)."""
+    return jnp.zeros(
+        (config.num_layers, _cache_rows(cache_len),
+         2 * batch * config.embed_dim),
+        dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "length", "cache_len", "interpret", "greedy", "use_k",
+        "use_p", "ragged",
+    ),
+    donate_argnums=(1,),
+)
+def _wide_impl(
+    packed, kv_state, prompts, plens, seed, temperature, top_k, top_p,
+    *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
+    use_k: bool = False, use_p: bool = False, ragged: bool = False,
+):
+    E = config.embed_dim
+    batch, prompt_len = prompts.shape
+    vocab_pad = packed["wte"].shape[0]
+    use_rel = config.use_relative_attention
+    # Static under jit: dtype is a tracer attribute, not a traced value.
+    quantized = packed["big_w"].dtype == jnp.int8
+    num_steps = prompt_len + length - 1
+    out_len = num_steps if ragged else length
+    live_max = cache_len  # _decode_stages caps live at cache_len
+
+    if use_rel:
+        # Lead zeros keep band slice starts positive past the window; the
+        # tail covers the largest (live+128) slice at the smallest start
+        # (see ops/decode_kernel.py); one extra KV_CHUNK of zeros absorbs
+        # chunk-granularity over-read.
+        rel_pad = jnp.pad(
+            packed["rel_rows"],
+            ((0, 0), (_round_up(cache_len, 128), cache_len + 128 + KV_CHUNK),
+             (0, 0)),
+        )
+    else:
+        rel_pad = jnp.zeros((config.num_layers, 256, E), packed["wte"].dtype)
+
+    mask = jnp.where(
+        jnp.arange(vocab_pad)[None, :] < config.vocab_size, 0.0, NEG_INF
+    )
+    logits_b = packed["logits_b"].astype(jnp.float32) + mask
+
+    kernel = functools.partial(
+        _wide_kernel,
+        batch=batch,
+        num_layers=config.num_layers,
+        num_heads=config.num_heads,
+        head_dim=config.head_dim,
+        embed_dim=E,
+        cache_len=cache_len,
+        window=config.window_size,
+        vocab_pad=vocab_pad,
+        vocab_size=config.vocab_size,
+        num_steps=num_steps,
+        ln_eps=config.layer_norm_epsilon,
+        scale_attention=config.scale_attention,
+        greedy=greedy,
+        use_rel=use_rel,
+        quantized=quantized,
+        use_k=use_k,
+        use_p=use_p,
+    )
+
+    temps = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(temperature, jnp.float32), (-1,)), (batch,)
+    )
+    topk_f = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(top_k, jnp.float32), (-1,)), (batch,)
+    )
+    topk_f = jnp.where(topk_f > 0, topk_f, float(vocab_pad + 1))
+    topp_f = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(top_p, jnp.float32), (-1,)), (batch,)
+    )
+    topp_f = jnp.where((topp_f > 0) & (topp_f < 1), topp_f, 2.0)
+
+    scalars = (
+        jnp.asarray(prompts, jnp.int32),
+        jnp.asarray(plens, jnp.int32),
+        jnp.asarray([seed], jnp.int32),
+        temps,
+        topk_f,
+        topp_f,
+    )
+    vmem_inputs = (
+        packed["wte"], packed["wte_t"], packed["wpe"], packed["ln1"],
+        packed["qkv_b"], packed["proj_b"], packed["fc_b"], packed["fp_b"],
+        logits_b, packed["wscale"], packed["fpscale"], packed["rel0"],
+    )
+    hbm_inputs = (packed["big_w"], packed["fp_w"], rel_pad, kv_state)
+
+    wdtype = packed["big_w"].dtype
+    kv_dtype = kv_state.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(vmem_inputs)
+            + [pl.BlockSpec(memory_space=pl.ANY)] * len(hbm_inputs)
+        ),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, E, 8 * E), wdtype),
+            pltpu.VMEM((2, 4 * E, E), wdtype),
+            pltpu.VMEM((2, KV_CHUNK, 2 * batch * E), kv_dtype),
+            pltpu.VMEM(
+                (2, (live_max if use_rel else 128) + 128, E),
+                packed["rel_rows"].dtype,
+            ),
+            pltpu.VMEM((1, 2 * batch * E), kv_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kv_index = len(scalars) + len(vmem_inputs) + len(hbm_inputs) - 1
+    tokens, kv_state = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, out_len), jnp.int32),
+            jax.ShapeDtypeStruct(kv_state.shape, kv_state.dtype),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+        input_output_aliases={kv_index: 1},
+    )(*scalars, *vmem_inputs, *hbm_inputs)
+    return tokens[:, :length], kv_state
+
+
+def megakernel_generate_wide(
+    packed, kv_state, prompts, seed, temperature,
+    *, config, length: int, cache_len: int, interpret: bool = False,
+    top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
+    prompt_lengths=None,
+):
+    """Generates ``length`` tokens per prompt row through the streaming wide
+    kernel; returns ``(tokens, kv_state)`` — thread the returned (donated)
+    KV state into the next call.
+
+    Same prompt/sampling semantics as
+    :func:`ops.decode_kernel_batched.megakernel_generate_batched` (ragged
+    ``prompt_lengths``, per-row sampling params, greedy rows inside sampled
+    batches); under identical seeds the two kernels draw identical sample
+    streams (one (B, vocab) Gumbel draw per step).
+    """
+    from composer_tpu.ops.decode_kernel import sampling_flags
+
+    prompts = jnp.asarray(prompts, jnp.int32)
+    if prompts.shape[1] + length > cache_len:
+        raise ValueError("prompt + length exceeds cache")
+    expected = (
+        config.num_layers, _cache_rows(cache_len),
+        2 * prompts.shape[0] * config.embed_dim,
+    )
+    if kv_state.shape != expected:
+        raise ValueError(
+            f"kv_state shape {kv_state.shape} does not match {expected} "
+            "(init_kv_state with the same batch/cache_len)"
+        )
+    ragged = prompt_lengths is not None
+    if not ragged:
+        plens = np.full(prompts.shape[0], prompts.shape[1], np.int32)
+    else:
+        plens = (
+            prompt_lengths
+            if isinstance(prompt_lengths, jax.core.Tracer)
+            else np.asarray(prompt_lengths, np.int32).reshape(-1)
+        )
+        if plens.shape[0] != prompts.shape[0]:
+            raise ValueError(
+                f"prompt_lengths has {plens.shape[0]} rows for a batch of "
+                f"{prompts.shape[0]}"
+            )
+        if isinstance(plens, np.ndarray) and (
+            plens.min() < 1 or plens.max() > prompts.shape[1]
+        ):
+            raise ValueError(
+                f"prompt_lengths must lie in [1, {prompts.shape[1]}], got "
+                f"[{plens.min()}, {plens.max()}]"
+            )
+    greedy, use_k, use_p = sampling_flags(
+        temperature, top_k, top_p, greedy, use_k, use_p
+    )
+    return _wide_impl(
+        packed, kv_state, prompts, plens, seed, temperature, top_k, top_p,
+        config=config, length=length, cache_len=cache_len,
+        interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
+        ragged=ragged,
+    )

