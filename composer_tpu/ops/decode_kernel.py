@@ -498,6 +498,30 @@ def pack_weights(params, config, dtype=jnp.bfloat16):
     return packed
 
 
+def cache_to_rows_batched(cache, config, cache_len: int, dtype=jnp.bfloat16):
+    """(B, H, S, D) layer caches -> (L, B*cache_len, H*D) sublane-stacked
+    rows — the batched kernel's slab layout (sequence s's cache slot c at
+    row s*cache_len + c). Rows beyond the prefilled range are zeros.
+
+    Jitted by the caller (one fused transpose/pad program per shape): this
+    is the XLA-prefill -> fused-kernel handoff for long prompts.
+    """
+    k_layers, v_layers = [], []
+    for layer in cache["layers"]:
+        rows = []
+        for name in ("k", "v"):
+            buf = jnp.asarray(layer[name], dtype)  # (B, H, S, D)
+            buf = buf.transpose(0, 2, 1, 3)  # (B, S, H, D)
+            batch, s_len = buf.shape[0], buf.shape[1]
+            buf = buf.reshape(batch, s_len, -1)  # (B, S, E)
+            if s_len < cache_len:
+                buf = jnp.pad(buf, ((0, 0), (0, cache_len - s_len), (0, 0)))
+            rows.append(buf[:, :cache_len].reshape(batch * cache_len, -1))
+        k_layers.append(rows[0])
+        v_layers.append(rows[1])
+    return jnp.stack(k_layers), jnp.stack(v_layers)
+
+
 def cache_to_rows(cache, config, cache_len: int, dtype=jnp.bfloat16):
     """(B=1, H, C, D) layer caches -> (L, Cpad, H*D) row-major layout."""
     rows = []

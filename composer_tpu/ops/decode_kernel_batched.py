@@ -102,14 +102,15 @@ def _batched_kernel(
     wte_ref, wte_t_ref, wpe_ref,
     ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref,
     fc_w_ref, fc_b_ref, fp_w_ref, fp_b_ref,
-    logits_b_ref, rel_pad_ref,
+    logits_b_ref, rel_pad_ref, kcache_ref, vcache_ref,
     tokens_ref,
-    kbuf, vbuf,
+    kbuf, vbuf, prefill_sem,
     *, batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
     greedy: bool, use_rel: bool, lanestack: bool,
     use_k: bool = False, use_p: bool = False,
+    start_step: int = 0, has_prefill: bool = False,
 ):
     B, R, E, C = batch, num_heads, embed_dim, cache_len
     out_len = tokens_ref.shape[1]
@@ -152,9 +153,25 @@ def _batched_kernel(
             axis=0,
         )  # (B, 1)
 
-    for layer in range(num_layers):
-        kbuf[layer] = jnp.zeros_like(kbuf[layer])
-        vbuf[layer] = jnp.zeros_like(vbuf[layer])
+    if has_prefill:
+        # Parallel prefill (train/generate.py): cache rows [0, start) were
+        # filled by ONE batched XLA forward over the common prompt prefix
+        # instead of `start` teacher-forced kernel steps; rows beyond
+        # arrive zeroed. The rows stage in from HBM (a VMEM operand would
+        # double the cache footprint) — one DMA per layer, once.
+        copies = [
+            pltpu.make_async_copy(src.at[layer], dst.at[layer], prefill_sem)
+            for layer in range(num_layers)
+            for src, dst in ((kcache_ref, kbuf), (vcache_ref, vbuf))
+        ]
+        for copy in copies:
+            copy.start()
+        for copy in copies:
+            copy.wait()
+    else:
+        for layer in range(num_layers):
+            kbuf[layer] = jnp.zeros_like(kbuf[layer])
+            vbuf[layer] = jnp.zeros_like(vbuf[layer])
 
     # Masks. Group of activation row r: r // R (sequence s = rows s*R..s*R+R-1).
     rowmask_one = (
@@ -390,10 +407,13 @@ def _batched_kernel(
 
         return step
 
-    carry = prompt_onehots(0)
+    carry = prompt_onehots(start_step)
     for seg_start, seg_end, live in _decode_stages(cache_len, num_steps):
+        if seg_end <= start_step:  # fully prefilled segment: skip
+            continue
         carry = jax.lax.fori_loop(
-            seg_start, seg_end, make_step(live), carry, unroll=False
+            max(seg_start, start_step), seg_end, make_step(live), carry,
+            unroll=False,
         )
 
 
@@ -401,17 +421,20 @@ def _batched_kernel(
     jax.jit,
     static_argnames=(
         "config", "length", "cache_len", "interpret", "greedy", "use_k", "use_p",
-        "ragged",
+        "ragged", "start_step",
     ),
 )
 def _batched_impl(
-    packed, prompts, plens, seed, temperature, top_k, top_p,
+    packed, prompts, plens, seed, temperature, top_k, top_p, k_rows, v_rows,
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
     use_k: bool = False, use_p: bool = False, ragged: bool = False,
+    start_step: int = 0,
 ):
     E = config.embed_dim
-    # Lane-stacked KV needs 128-aligned per-sequence lane slices.
-    lanestack = _LANESTACK and E % 128 == 0
+    has_prefill = start_step > 0
+    # Lane-stacked KV needs 128-aligned per-sequence lane slices (and has
+    # no prefill import path).
+    lanestack = _LANESTACK and E % 128 == 0 and not has_prefill
     batch, prompt_len = prompts.shape
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
@@ -457,6 +480,8 @@ def _batched_impl(
         lanestack=lanestack,
         use_k=use_k,
         use_p=use_p,
+        start_step=start_step,
+        has_prefill=has_prefill,
     )
 
     # Scalar-or-per-row params -> (B,) SMEM vectors; disabled rows carry
@@ -481,19 +506,27 @@ def _batched_impl(
         topk_f,
         topp_f,
     )
+    if not has_prefill:
+        # Small dummies: the kernel zero-initializes its cache scratch.
+        k_rows = jnp.zeros((config.num_layers, 8, E), packed["wte"].dtype)
+        v_rows = k_rows
     tensor_inputs = (
         packed["wte"], packed["wte_t"], packed["wpe"],
         packed["ln1"], packed["qkv_w"], packed["qkv_b"],
         packed["proj_w"], packed["proj_b"],
         packed["fc_w"], packed["fc_b"],
         packed["fp_w"], packed["fp_b"],
-        logits_b, rel_pad,
+        logits_b, rel_pad, k_rows, v_rows,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tensor_inputs),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(tensor_inputs) - 2)
+            # The prefill cache rows stay in HBM and DMA into the scratch.
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        ),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(
@@ -503,7 +536,8 @@ def _batched_impl(
                 packed["wte"].dtype,
             ),
         ]
-        * 2,
+        * 2
+        + [pltpu.SemaphoreType.DMA],
     )
 
     tokens = pl.pallas_call(
@@ -523,7 +557,7 @@ def megakernel_generate_batched(
     packed, prompts, seed, temperature,
     *, config, length: int, cache_len: int, interpret: bool = False,
     top_k=0, top_p=0.0, greedy=None, use_k=None, use_p=None,
-    prompt_lengths=None,
+    prompt_lengths=None, prefill_rows=None, start_step: int = 0,
 ):
     """Generates ``length`` tokens for each of B prompts in one kernel.
 
@@ -539,6 +573,15 @@ def megakernel_generate_batched(
     (the serving coalescer batches mixed-setting requests); rows with
     temperature <= 0 decode greedily inside a sampled batch. Pass the
     structure flags explicitly when calling with traced values.
+
+    **Parallel prefill**: ``prefill_rows`` = (k_rows, v_rows), each
+    (L, B*cache_len, E), holding the cache for positions [0, start_step)
+    built by ONE batched XLA forward (train/generate.py exports it via
+    ``cache_to_rows_batched``); the kernel then starts its token loop at
+    ``start_step`` (a STATIC int — one compiled program per prompt-length
+    bucket) instead of teacher-forcing the common prefix one position per
+    step. Greedy outputs are identical with or without prefill; sampled
+    streams differ (the per-step Gumbel draws start at ``start_step``).
     """
     from composer_tpu.ops.decode_kernel import sampling_flags
 
@@ -569,9 +612,30 @@ def megakernel_generate_batched(
     greedy, use_k, use_p = sampling_flags(
         temperature, top_k, top_p, greedy, use_k, use_p
     )
+    if start_step:
+        if prefill_rows is None:
+            raise ValueError("start_step > 0 requires prefill_rows")
+        if isinstance(plens, np.ndarray) and start_step >= plens.min():
+            # The input at step `start` must still be a forced prompt token
+            # for EVERY row (the prefill never samples — PRNG stays in-kernel).
+            raise ValueError(
+                f"start_step ({start_step}) must be < min prompt length "
+                f"({plens.min()})"
+            )
+        k_rows, v_rows = prefill_rows
+        expected = (
+            config.num_layers, prompts.shape[0] * cache_len, config.embed_dim
+        )
+        if k_rows.shape != expected:
+            raise ValueError(
+                f"prefill k_rows shape {k_rows.shape} != {expected}"
+            )
+    else:
+        k_rows = v_rows = None
     return _batched_impl(
         packed, prompts, plens, seed, temperature, top_k, top_p,
+        k_rows, v_rows,
         config=config, length=length, cache_len=cache_len,
         interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
-        ragged=ragged,
+        ragged=ragged, start_step=start_step,
     )

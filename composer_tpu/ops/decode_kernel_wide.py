@@ -20,15 +20,18 @@ models fused anyway:
   the attention prefix streams back in (Ck, 2*B*E) chunks consumed
   flash-style (online softmax) — the full prefix never needs VMEM residency,
   which is what caps the resident kernels' reach;
-* the current position's k/v never round-trips: its score term is computed
-  in-register and merged into the online softmax, so chunk reads only need
-  rows strictly before `position` (written in earlier steps — no RAW hazard
-  with this step's append DMA);
+* recent rows (current position included) live in a 128-row VMEM **tail
+  window** per layer, appended with the resident kernels' tile-aligned
+  masked-slab writes and flushed to HBM only at window crossings — HBM DMA
+  destinations cannot address single rows, and the tail keeps the hot end
+  of the cache off the per-step stream entirely; attention merges HBM
+  chunks (rows below the flush frontier) and the tail block through one
+  online softmax;
 * the **relative bias** streams too: per (layer, step) one DMA fetches the
   (live+128)-row band of the skew-layout table that covers the reachable
   cache slots (same contiguous-run + lane-roll algebra as
-  ops/decode_kernel.py:330-345; the distance-0 term for the in-register
-  current row uses a tiny resident copy of table row window-1);
+  ops/decode_kernel.py:330-345; a second dynamic roll aligns the tail
+  block's lanes);
 * everything else — teacher-forced (optionally ragged) prompts, per-row
   temperature/top-k/top-p, greedy rows inside sampled batches, the staged
   `live` growth — matches ops/decode_kernel_batched.py, and under float32
@@ -58,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from composer_tpu.ops.decode_kernel import (
+    KV_SLAB,
     NEG_INF,
     _filtered_scaled_logits,
     _gelu_tanh,
@@ -73,6 +77,14 @@ from composer_tpu.ops.decode_kernel_batched import _decode_stages
 # an online-softmax merge, so VMEM holds at most two chunks regardless of
 # the live prefix length.
 KV_CHUNK = 512
+
+# Rows in the VMEM tail window. New K/V rows accumulate here (tile-aligned
+# masked writes, like the resident kernels' KV_SLAB appends) and flush to
+# the HBM cache only when the position crosses a window boundary — HBM DMA
+# destinations must be tile-aligned, so single rows cannot write through
+# directly. Attention reads HBM chunks for rows below the last flush and
+# the tail block for everything since (current row included).
+TAIL = 128
 
 
 def _wide_matmul(x, w_ref_slice, scale=None):
@@ -102,14 +114,14 @@ def _wide_kernel(
     # tensor inputs: small VMEM-resident operands
     wte_ref, wte_t_ref, wpe_ref, ln1_ref,
     qkv_b_ref, proj_b_ref, fc_b_ref, fp_b_ref, logits_b_ref,
-    wscale_ref, fpscale_ref, rel0_ref,
+    wscale_ref, fpscale_ref,
     # tensor inputs: HBM-resident (streamed)
     big_w_hbm, fp_w_hbm, rel_hbm, kv_hbm_in,
     # outputs
     tokens_ref, kv_hbm_out,
     # scratch
-    big_buf, fp_buf, kv_buf, rel_buf, row_buf,
-    sem_w, sem_kv, sem_rel, sem_row,
+    big_buf, fp_buf, kv_buf, rel_buf, tail_buf,
+    sem_w, sem_kv, sem_rel, sem_flush,
     *, batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
@@ -162,6 +174,8 @@ def _wide_kernel(
     vocab_cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, vocab_pad), 1)
     wpe_cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
     chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (R, KV_CHUNK), 1)
+    tail_cols = jax.lax.broadcasted_iota(jnp.int32, (R, TAIL), 1)
+    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (KV_SLAB, 2 * BE), 0)
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
 
@@ -215,6 +229,27 @@ def _wide_kernel(
 
         def step(i, onehot):
             position = i
+            # Rows below this are in the HBM cache; rows [flushed_end,
+            # position] live in the VMEM tail window (128-aligned).
+            flushed_end = (position // TAIL) * TAIL
+
+            # Window crossing: the previous TAIL rows are complete — flush
+            # them to the HBM cache BEFORE any chunk prefetch might read
+            # them this step. (The final partial window never flushes: no
+            # later step of this call reads it from HBM, and the next call
+            # rewrites the tail from scratch.)
+            @pl.when(jnp.logical_and(position % TAIL == 0, position > 0))
+            def _flush():
+                for lf in range(num_layers):
+                    flush = pltpu.make_async_copy(
+                        tail_buf.at[lf],
+                        kv.at[lf, pl.ds(
+                            pl.multiple_of(position - TAIL, TAIL), TAIL
+                        )],
+                        sem_flush,
+                    )
+                    flush.start()
+                    flush.wait()
 
             # Stream-in prologue: layer 0's weights (+ rel band) and the
             # first KV chunk; each layer then prefetches its successor's.
@@ -262,21 +297,26 @@ def _wide_kernel(
                 k_small = collapse(qkv[:, E : 2 * E])  # (B, E)
                 v_small = collapse(qkv[:, 2 * E :])
 
-                # Append the step's K/V for the whole batch: ONE row of the
-                # lane-stacked HBM cache, staged through VMEM scratch. The
-                # wait is immediate — later steps' chunk reads must see it.
-                row_buf[0:1, 0:BE] = k_small.reshape(1, BE).astype(row_buf.dtype)
-                row_buf[0:1, BE : 2 * BE] = v_small.reshape(1, BE).astype(
-                    row_buf.dtype
+                # Append the step's K/V for the whole batch into the VMEM
+                # tail window (tile-aligned masked slab write — HBM DMA
+                # destinations can't address single rows).
+                row_in_tail = position % TAIL
+                slab = pl.multiple_of(
+                    (row_in_tail // KV_SLAB) * KV_SLAB, KV_SLAB
                 )
-                row_write = pltpu.make_async_copy(
-                    row_buf, kv.at[layer, pl.ds(position, 1)], sem_row
+                row_hit = slab_rows == row_in_tail - slab
+                new_row = jnp.concatenate(
+                    [k_small.reshape(1, BE), v_small.reshape(1, BE)], axis=1
+                ).astype(tail_buf.dtype)  # (1, 2BE)
+                old_slab = tail_buf[layer, pl.ds(slab, KV_SLAB), :]
+                tail_buf[layer, pl.ds(slab, KV_SLAB), :] = jnp.where(
+                    row_hit,
+                    jnp.broadcast_to(new_row, (KV_SLAB, 2 * BE)),
+                    old_slab,
                 )
-                row_write.start()
-                row_write.wait()
 
                 qb_f32 = q * rowmask  # (B*R, E)
-                qb = qb_f32.astype(row_buf.dtype)
+                qb = qb_f32.astype(tail_buf.dtype)
 
                 if use_rel:
                     # One shared band matmul + roll for all sequences
@@ -324,11 +364,11 @@ def _wide_kernel(
                                 )
                             scores = scores + band_slice
                         scores = scores * softmax_scale
-                        # STRICTLY below position: the current row is merged
-                        # in-register after the chunk loop (the HBM row at
-                        # `position` was written this step, but excluding it
-                        # here keeps the math independent of DMA timing).
-                        keep = base + chunk_cols < position
+                        # Strictly below the flush frontier: rows at or
+                        # past it (current row included) live in the VMEM
+                        # tail, merged after the chunk loop — the HBM rows
+                        # there are stale.
+                        keep = base + chunk_cols < flushed_end
                         scores = jnp.where(keep, scores, NEG_INF)
                         m_new = jnp.maximum(
                             m_s[s], jnp.max(scores, axis=1, keepdims=True)
@@ -349,27 +389,40 @@ def _wide_kernel(
                         )
                         m_s[s] = m_new
 
+                # Tail block: cache rows [flushed_end, position] (current
+                # row included — it was just written above). The band lanes
+                # for these rows come off the shared rolled band via one
+                # more dynamic roll (dynamic lane slicing is not a Mosaic
+                # primitive; rolls are).
+                if use_rel:
+                    tail_band = pltpu.roll(
+                        rolled, live + 128 - flushed_end, axis=1
+                    )[:, :TAIL]  # lane t = cache slot flushed_end + t
                 attn_rows = []
                 for s in range(B):
-                    # Current row: score = q . k_cur (+ rel distance 0).
-                    cur = jax.lax.dot_general(
-                        qb[s * R : (s + 1) * R],
-                        k_small[s : s + 1].astype(qb.dtype),
+                    k_t = tail_buf[layer, :, s * E : (s + 1) * E]  # (TAIL, E)
+                    scores = jax.lax.dot_general(
+                        qb[s * R : (s + 1) * R], k_t,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (R, 1)
+                    )  # (R, TAIL)
                     if use_rel:
-                        cur = cur + jax.lax.dot_general(
-                            qb[s * R : (s + 1) * R], rel0_ref[layer],
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    cur = cur * softmax_scale
-                    m_new = jnp.maximum(m_s[s], cur)
+                        scores = scores + tail_band[s * R : (s + 1) * R]
+                    scores = scores * softmax_scale
+                    keep = flushed_end + tail_cols <= position
+                    scores = jnp.where(keep, scores, NEG_INF)
+                    m_new = jnp.maximum(
+                        m_s[s], jnp.max(scores, axis=1, keepdims=True)
+                    )
+                    p = jnp.where(keep, jnp.exp(scores - m_new), 0.0)
                     alpha = jnp.exp(m_s[s] - m_new)
-                    p_cur = jnp.exp(cur - m_new)  # (R, 1)
-                    acc = a_s[s] * alpha + p_cur * v_small[s : s + 1]
-                    norm = l_s[s] * alpha + p_cur
+                    v_t = tail_buf[layer, :, BE + s * E : BE + (s + 1) * E]
+                    acc = a_s[s] * alpha + jax.lax.dot_general(
+                        p.astype(v_t.dtype), v_t,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    norm = l_s[s] * alpha + jnp.sum(p, axis=1, keepdims=True)
                     mixed = acc / norm  # (R, E)
                     attn_rows.append(
                         jnp.sum(mixed * rowmask_one, axis=0, keepdims=True)
@@ -443,6 +496,13 @@ def _wide_kernel(
 
         return step
 
+    # Zero the tail window once: masked softmax weights are exactly 0 for
+    # not-yet-written rows, but 0 * NaN (uninitialized scratch) would still
+    # poison the value contraction (same reason the resident kernels zero
+    # their caches).
+    for layer in range(num_layers):
+        tail_buf[layer] = jnp.zeros_like(tail_buf[layer])
+
     carry = prompt_onehots(0)
     for seg_start, seg_end, live in _decode_stages(cache_len, num_steps):
         carry = jax.lax.fori_loop(
@@ -489,11 +549,6 @@ def pack_weights_wide(params, config, dtype=jnp.bfloat16):
         big_q, big_scale = big.astype(base_dtype), None
         fp_q, fp_scale = fp.astype(base_dtype), None
 
-    if config.use_relative_attention:
-        rel0 = base["rel_rows"][:, config.window_size - 1 : config.window_size, :]
-    else:
-        rel0 = jnp.zeros((config.num_layers, 1, E), jnp.float32)
-
     return {
         "big_w": big_q,
         "fp_w": fp_q,
@@ -515,7 +570,6 @@ def pack_weights_wide(params, config, dtype=jnp.bfloat16):
         "fp_b": base["fp_b"],
         "logits_b": base["logits_b"],
         "rel_rows": base["rel_rows"].astype(base_dtype),
-        "rel0": rel0.astype(base_dtype),
     }
 
 
@@ -623,7 +677,7 @@ def _wide_impl(
     vmem_inputs = (
         packed["wte"], packed["wte_t"], packed["wpe"], packed["ln1"],
         packed["qkv_b"], packed["proj_b"], packed["fc_b"], packed["fp_b"],
-        logits_b, packed["wscale"], packed["fpscale"], packed["rel0"],
+        logits_b, packed["wscale"], packed["fpscale"],
     )
     hbm_inputs = (packed["big_w"], packed["fp_w"], rel_pad, kv_state)
 
@@ -648,7 +702,7 @@ def _wide_impl(
                 (2, (live_max if use_rel else 128) + 128, E),
                 packed["rel_rows"].dtype,
             ),
-            pltpu.VMEM((1, 2 * batch * E), kv_dtype),
+            pltpu.VMEM((config.num_layers, TAIL, 2 * batch * E), kv_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -262,7 +262,7 @@ def _padded_cache_len(cache_len: int) -> int:
 
 
 def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) -> bool:
-    if engine == "xla":
+    if engine in ("xla", "wide"):
         return False
     if model_type != ModelType.TRANSFORMER:
         return False
@@ -277,6 +277,55 @@ def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) 
     # auto: the fused kernel needs a real TPU (interpret mode is far slower
     # than the XLA scan on CPU).
     return jax.default_backend() == "tpu"
+
+
+def _wide_batch_cap(config, cache_len: int) -> int:
+    """Largest per-dispatch sub-batch the streaming wide kernel's VMEM
+    holds (0 = the model doesn't suit the wide kernel at all).
+
+    Wide-kernel VMEM residents: double-buffered per-layer weight blocks
+    (2 x 12E^2), the (2, KV_CHUNK, 2*B*E) streamed-KV chunk buffers (the
+    only batch-dependent term), the relative band buffer, and the
+    embedding/positional tables; ~20 MB is left for activations and
+    compiler slack against the ~128 MB chip VMEM.
+    """
+    from composer_tpu.ops.decode_kernel_wide import KV_CHUNK
+
+    e = config.embed_dim
+    bytes_per = 2  # bf16 streaming (int8 halves the weight term)
+    fixed = 2 * 12 * e * e * bytes_per  # weight double buffers
+    if config.use_relative_attention:
+        fixed += 2 * (cache_len + 256) * e * bytes_per  # band double buffer
+    vocab_pad = -(-getattr(config, "vocab_size", 512) // 256) * 256
+    # Resident tables: wte + wte_t + wpe.
+    fixed += 2 * vocab_pad * e * bytes_per + config.window_size * e * bytes_per
+    budget = 100 * 1024 * 1024 - fixed
+    per_batch = 2 * KV_CHUNK * 2 * e * bytes_per  # kv chunk double buffer
+    if budget <= 0:
+        return 0
+    return max(min(budget // per_batch, 8), 0)
+
+
+def _use_wide_kernel(model, model_type, cache_len: int, engine: str) -> bool:
+    """Routes weights-over-VMEM transformers to the streaming wide kernel.
+
+    auto: only when the resident megakernel CANNOT serve the model (its
+    VMEM gate failed) — for models that fit, residency wins. 'wide' forces
+    it (tests/benchmarks A/B)."""
+    if engine not in ("auto", "wide"):
+        return False
+    if model_type != ModelType.TRANSFORMER:
+        return False
+    if not getattr(model.config, "use_layer_norm", True):
+        return False
+    if _wide_batch_cap(model.config, _padded_cache_len(cache_len)) == 0:
+        return False
+    if engine == "wide":
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and _megakernel_chunk(model.config, 1, _padded_cache_len(cache_len)) == 0
+    )
 
 
 def _normalize_sampling(batch: int, temperature, top_k, top_p):
@@ -306,9 +355,39 @@ def _normalize_sampling(batch: int, temperature, top_k, top_p):
     )
 
 
+def _prefill_min_tokens() -> int:
+    """Shortest common prompt prefix worth a separate XLA prefill dispatch
+    (below it, the kernel's in-loop teacher forcing is cheaper than an
+    extra program + link round-trip). Env knob ``COMPOSER_PREFILL_MIN``;
+    <= 0 disables parallel prefill."""
+    import os
+
+    try:
+        return int(os.environ.get("COMPOSER_PREFILL_MIN", "64"))
+    except ValueError:
+        return 64
+
+
+def _pow2_floor(n: int) -> int:
+    size = 1
+    while size * 2 <= n:
+        size *= 2
+    return size
+
+
 class TransformerDecoder:
     """A serving engine: packs weights once; each ``generate`` call is ONE
-    fused device program (prompt consumption + sampling inside the kernel)."""
+    fused device program (prompt consumption + sampling inside the kernel).
+
+    Long prompts (common prefix >= ``COMPOSER_PREFILL_MIN`` tokens,
+    default 64) take a PARALLEL PREFILL first: one batched XLA forward
+    builds the KV cache for the shared prefix in a single pass, exports it
+    into the kernel's slab layout, and the kernel starts its token loop at
+    that position — instead of teacher-forcing the prefix one sequential
+    in-kernel step per token (the round-3 gap: a 512-event prompt cost
+    ~512 sequential steps before the first new token). Greedy outputs are
+    identical either way; sampled streams shift (draws start later).
+    """
 
     def __init__(self, model, params, dtype=jnp.bfloat16):
         from composer_tpu.ops import decode_kernel
@@ -319,7 +398,8 @@ class TransformerDecoder:
         self.packed = decode_kernel.pack_weights(params, model.config, dtype=dtype)
 
         def pipeline(packed, prompt, plens, seed, temps, topks, topps,
-                     cache_len, length, greedy, use_k, use_p, ragged):
+                     krows, vrows, cache_len, length, greedy, use_k, use_p,
+                     ragged, start):
             # ONE device program per generate call: the kernel consumes the
             # prompt teacher-forced and samples every new token itself — no
             # external prefill or cache transform (per-dispatch latency over
@@ -329,7 +409,7 @@ class TransformerDecoder:
             from composer_tpu.ops.decode_kernel_batched import (
                 megakernel_generate_batched,
             )
-            if prompt.shape[0] == 1:
+            if prompt.shape[0] == 1 and start == 0:
                 # Batch 1 is never ragged: generate() trims the concrete
                 # prompt row to its real length before dispatch.
                 tokens = decode_kernel.megakernel_generate(
@@ -345,6 +425,8 @@ class TransformerDecoder:
                 top_k=topks, top_p=topps,
                 greedy=greedy, use_k=use_k, use_p=use_p,
                 prompt_lengths=plens if ragged else None,
+                prefill_rows=(krows, vrows) if start else None,
+                start_step=start,
             )
 
         # Sampling params are traced (B,) vectors — one compiled program
@@ -355,7 +437,24 @@ class TransformerDecoder:
             pipeline,
             static_argnames=(
                 "cache_len", "length", "greedy", "use_k", "use_p", "ragged",
+                "start",
             ),
+        )
+
+        def prefill_rows(params_arg, prefix, cache_len):
+            # One batched forward over the shared prompt prefix; the cache
+            # transposes/pads into the kernel's (L, B*C, E) slab layout
+            # inside the same program.
+            from composer_tpu.ops.decode_kernel import cache_to_rows_batched
+
+            cache = init_cache(model.config, prefix.shape[0], prefix.shape[1])
+            _, cache = model.apply({"params": params_arg}, prefix, cache)
+            return cache_to_rows_batched(
+                cache, model.config, cache_len, self.packed["wte"].dtype
+            )
+
+        self._prefill_rows = jax.jit(
+            prefill_rows, static_argnames=("cache_len",)
         )
 
     def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None,
@@ -395,7 +494,19 @@ class TransformerDecoder:
                 f" layers) + cache_len {cache_len} exceeds the fused kernel's"
                 " VMEM budget; use the XLA engine for this architecture"
             )
+        # Parallel prefill for long prompts: one XLA forward covers the
+        # common prefix (min prompt length - 1 — the last prompt token
+        # stays with the kernel, whose step both consumes it and samples),
+        # bucketed to powers of two so the compile cache stays small.
+        prefill_min = _prefill_min_tokens()
+        prefill_start = int(plens.min()) - 1
+        if prefill_min <= 0 or prefill_start < prefill_min:
+            prefill_start = 0
+        else:
+            prefill_start = _pow2_floor(prefill_start)
+
         outputs = []
+        dummy_rows = None
         for index, start in enumerate(range(0, prompt.shape[0], chunk)):
             # Distinct per-chunk PRNG streams. Chunk 0 keeps the user seed
             # (single-dispatch behaviour unchanged); later chunks map into a
@@ -412,17 +523,150 @@ class TransformerDecoder:
             pc = topps[start : start + chunk]
             lc = plens[start : start + chunk]
             greedy, use_k, use_p = sampling_flags(tc, kc, pc)
+            if prefill_start:
+                krows, vrows = self._prefill_rows(
+                    self.params, prompt[start : start + chunk, :prefill_start],
+                    cache_len,
+                )
+            else:
+                if dummy_rows is None:
+                    dummy_rows = jnp.zeros(
+                        (self.config.num_layers, 8, self.config.embed_dim),
+                        self.packed["wte"].dtype,
+                    )
+                krows = vrows = dummy_rows
             outputs.append(
                 self._pipeline(
                     self.packed, prompt[start : start + chunk], lc,
-                    chunk_seed, tc, kc, pc, cache_len, length,
+                    chunk_seed, tc, kc, pc, krows, vrows, cache_len, length,
                     greedy, use_k, use_p, bool((lc != prompt.shape[1]).any()),
+                    prefill_start,
                 )
             )
         return outputs[0] if len(outputs) == 1 else jnp.concatenate(outputs, axis=0)
 
 
+class WideTransformerDecoder:
+    """Serving engine for weights-over-VMEM transformers: one fused program
+    per generate call that STREAMS the packed weights and the KV prefix
+    from HBM (ops/decode_kernel_wide.py) instead of holding them resident —
+    the engine the embed-1024 flagship gets instead of the XLA scan.
+
+    Set ``COMPOSER_WIDE_INT8=1`` to pack the streamed weight blocks int8
+    with per-output-channel scales: halves the dominant per-step HBM
+    stream at a documented (non-bit-exact) numeric cost.
+    """
+
+    def __init__(self, model, params, dtype=None):
+        import os
+
+        from composer_tpu.ops import decode_kernel_wide as dkw
+
+        self.model = model
+        self.config = model.config
+        if dtype is None:
+            if os.environ.get("COMPOSER_WIDE_INT8", "0") == "1":
+                dtype = jnp.int8
+            elif jax.default_backend() == "tpu":
+                dtype = jnp.bfloat16
+            else:
+                dtype = jnp.float32
+        self.packed = dkw.pack_weights_wide(params, model.config, dtype=dtype)
+        self.kv_dtype = (
+            jnp.bfloat16 if dtype == jnp.int8 else dtype
+        )
+        self._kv = {}  # (batch, cache_len) -> carried HBM cache
+        self._interpret = jax.default_backend() != "tpu"
+
+    def _kv_state(self, batch: int, cache_len: int):
+        from composer_tpu.ops import decode_kernel_wide as dkw
+
+        key = (batch, cache_len)
+        if key not in self._kv:
+            # One cache per dispatch shape, recycled across calls (donated
+            # in, aliased out): stale rows are overwritten before any read.
+            self._kv.clear()  # at most one live shape — they are ~100s of MB
+            self._kv[key] = dkw.init_kv_state(
+                self.config, batch, cache_len, dtype=self.kv_dtype
+            )
+        return key, self._kv[key]
+
+    def generate(self, prompt, length, temperature=1.0, seed=0, cache_len=None,
+                 top_k=0, top_p=0.0, prompt_lengths=None):
+        from composer_tpu.ops.decode_kernel import sampling_flags
+        from composer_tpu.ops.decode_kernel_wide import megakernel_generate_wide
+
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim == 1:
+            prompt = prompt[None]
+        if cache_len is None:
+            cache_len = prompt.shape[1] + length
+        cache_len = _padded_cache_len(cache_len)
+        temps, topks, topps = _normalize_sampling(
+            prompt.shape[0], temperature, top_k, top_p
+        )
+        if prompt_lengths is None:
+            plens = np.full(prompt.shape[0], prompt.shape[1], np.int32)
+        else:
+            plens = np.asarray(prompt_lengths, np.int32).reshape(-1)
+
+        chunk = _wide_batch_cap(self.config, cache_len)
+        if chunk == 0:
+            raise ValueError(
+                f"model (embed {self.config.embed_dim}) + cache_len "
+                f"{cache_len} exceeds even the streaming wide kernel's VMEM "
+                "budget; use the XLA engine"
+            )
+        chunk = min(chunk, prompt.shape[0])
+        outputs = []
+        for index, start in enumerate(range(0, prompt.shape[0], chunk)):
+            rows = prompt[start : start + chunk]
+            if rows.shape[0] < chunk:  # pad the tail dispatch to the shape
+                pad = chunk - rows.shape[0]
+                rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))])
+            tc = np.resize(temps[start : start + chunk], chunk)
+            kc = np.resize(topks[start : start + chunk], chunk)
+            pc = np.resize(topps[start : start + chunk], chunk)
+            lc = np.resize(plens[start : start + chunk], chunk)
+            chunk_seed = (
+                seed if index == 0
+                else (seed * 65537 + 2**16 + index) % (2**31)
+            )
+            greedy, use_k, use_p = sampling_flags(tc, kc, pc)
+            key, kv = self._kv_state(chunk, cache_len)
+            tokens, kv = megakernel_generate_wide(
+                self.packed, kv, rows, chunk_seed, tc,
+                config=self.config, length=length, cache_len=cache_len,
+                interpret=self._interpret, top_k=kc, top_p=pc,
+                greedy=greedy, use_k=use_k, use_p=use_p,
+                prompt_lengths=(
+                    lc if bool((lc != rows.shape[1]).any()) else None
+                ),
+            )
+            self._kv[key] = kv  # donated: rebind the new buffer
+            real = min(chunk, prompt.shape[0] - start)
+            outputs.append(np.asarray(tokens)[:real])
+        out = outputs[0] if len(outputs) == 1 else np.concatenate(outputs, axis=0)
+        return out
+
+
 _ENGINE_CACHE = {}
+_WIDE_ENGINE_CACHE = {}
+
+
+def _wide_generate(model, params, prompt, length, temperature, seed,
+                   cache_len, top_k=0, top_p=0.0, prompt_lengths=None):
+    key = (id(model), id(params))
+    engine = _WIDE_ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = WideTransformerDecoder(model, params)
+        _WIDE_ENGINE_CACHE.clear()  # at most one packed wide engine alive
+        _WIDE_ENGINE_CACHE[key] = engine
+    return engine.generate(
+        prompt, length, temperature=temperature, seed=seed,
+        cache_len=max(cache_len, 128), top_k=top_k, top_p=top_p,
+        prompt_lengths=prompt_lengths,
+    )
 
 
 def _megakernel_generate(model, params, prompt, length, temperature, seed,
@@ -476,8 +720,9 @@ def generate_ids(
     columns [prompt_len, prompt_len + length) regardless of its real length
     (slice its real prompt from [0, prompt_lengths[s]) when reassembling).
 
-    ``engine``: 'auto' (fused single-kernel decode on TPU for batch-1
-    transformers, XLA scan otherwise), 'megakernel', or 'xla'.
+    ``engine``: 'auto' (fused kernels on TPU — the resident megakernels
+    when the packed weights fit VMEM, the streaming wide kernel when they
+    don't — XLA scan otherwise), 'megakernel', 'wide', or 'xla'.
     ``top_k``/``top_p`` filter the sampling distribution (0 disables each;
     beyond the reference, whose sampler was temperature-only). The fused
     kernels implement both filters in-kernel (rank/nucleus thresholds via
@@ -521,6 +766,14 @@ def generate_ids(
             model, model_type, prompt.shape[0], cache_len, engine
         ):
             generated = _megakernel_generate(
+                model, params_or_variables, prompt, length,
+                temps, seed, cache_len, top_k=topks, top_p=topps,
+                prompt_lengths=prompt_lengths,
+            )
+        elif _use_wide_kernel(model, model_type, cache_len, engine):
+            # Weights-over-VMEM models: the streaming wide kernel instead
+            # of the XLA scan fallback (VERDICT r3 item 1).
+            generated = _wide_generate(
                 model, params_or_variables, prompt, length,
                 temps, seed, cache_len, top_k=topks, top_p=topps,
                 prompt_lengths=prompt_lengths,

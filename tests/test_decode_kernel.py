@@ -227,9 +227,11 @@ def test_chunked_engine_splits_large_batches(setup):
     calls = []
 
     def fake_pipeline(packed, prompt, plens, seed, temps, topks, topps,
-                      cache_len, length, greedy, use_k, use_p, ragged):
+                      krows, vrows, cache_len, length, greedy, use_k, use_p,
+                      ragged, start):
         calls.append((prompt.shape[0], int(seed)))
         assert not ragged  # equal-width prompts take the fixed-length path
+        assert start == 0  # 4-token prompts never trigger parallel prefill
         # Tag outputs with the seed so ordering is checkable.
         return jnp.full((prompt.shape[0], length), seed, jnp.int32)
 

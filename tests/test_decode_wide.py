@@ -180,3 +180,59 @@ def test_wide_int8_quantization_close_to_f32():
     )
     agreement = float((exact == quant).mean())
     assert agreement >= 0.75, f"int8 greedy agreement too low: {agreement}"
+
+
+def test_engine_routing_and_wide_engine_wrapper():
+    """generate_ids(engine='wide') drives the WideTransformerDecoder
+    (chunked dispatches, ragged prompts, KV recycling) end to end and
+    matches the XLA engine greedily; 'auto' off-TPU still picks XLA."""
+    from composer_tpu.train import generate as gen
+
+    model, params = _model(True)
+    rng = np.random.default_rng(7)
+    prompts = rng.integers(0, VOCAB, (3, 6)).astype(np.int32)
+    plens = np.asarray([4, 6, 2], np.int32)
+
+    wide = gen.generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts, length=6,
+        temperature=0.0, seed=0, cache_len=128, engine="wide",
+        prompt_lengths=plens,
+    )
+    xla = gen.generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts, length=6,
+        temperature=0.0, seed=0, cache_len=128, engine="xla",
+        prompt_lengths=plens,
+    )
+    width = prompts.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(wide)[:, width:], np.asarray(xla)[:, width:]
+    )
+    # Second call through the cached engine reuses the dirtied KV state.
+    again = gen.generate_ids(
+        model, ModelType.TRANSFORMER, params, prompts, length=6,
+        temperature=0.0, seed=0, cache_len=128, engine="wide",
+        prompt_lengths=plens,
+    )
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(wide))
+
+    assert not gen._use_wide_kernel(model, ModelType.TRANSFORMER, 128, "auto")
+    assert gen._use_wide_kernel(model, ModelType.TRANSFORMER, 128, "wide")
+
+
+def test_wide_batch_cap_covers_flagship():
+    """The VMEM budget admits the embed-1024 flagship at batch 8 (the
+    VERDICT r3 target shape) and refuses absurd widths."""
+    from composer_tpu.train import generate as gen
+
+    flagship = TransformerConfig(
+        vocab_size=390, embed_dim=1024, window_size=2048, num_layers=8,
+        num_heads=16, use_relative_attention=True,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    assert gen._wide_batch_cap(flagship, 1152) == 8
+    giant = TransformerConfig(
+        vocab_size=390, embed_dim=4096, window_size=2048, num_layers=8,
+        num_heads=16, use_relative_attention=True,
+        attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+    )
+    assert gen._wide_batch_cap(giant, 1152) == 0
