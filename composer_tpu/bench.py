@@ -746,6 +746,108 @@ def run_overload_soak_benchmark(
     }
 
 
+def run_long_prompt_serving_benchmark(
+    prompt_len: int = 512,
+    length: int = 256,
+    requests: int = 8,
+    slots: int = 8,
+    seg_steps: int = 64,
+    prefill: bool = True,
+    dtype=None,
+    seed: int = 0,
+    embed_dim: int = 256,
+    num_layers: int = 8,
+    cache_len: int = 1024,
+    temperature: float = 0.8,
+    prefill_min: int = 128,
+):
+    """Long-prompt latency through the continuous engine: time-to-first-
+    token (submit -> first streamed non-echo chunk) and completion p95,
+    with admission prefill ON vs OFF (VERDICT r3 item 2's 'done' bench).
+
+    Without prefill, a 512-event prompt teacher-forces ~512 sequential
+    kernel steps across ~8 segments before its first generated token; with
+    it, one XLA forward + a slot scatter replace all but the last prompt
+    position.
+    """
+    import threading
+
+    from composer_tpu.models import ModelType
+    from composer_tpu.serving import ContinuousGenerationService
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    model = _default_transformer(
+        False, dtype, embed_dim=embed_dim, num_layers=num_layers
+    )
+    params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, vocab_size=390,
+        slots=slots, seg_steps=seg_steps, cache_len=cache_len, seed=seed,
+        prefill_min=(prefill_min if prefill else 0),
+    )
+    rng = np.random.default_rng(seed)
+    prompts = [
+        rng.integers(0, 390, prompt_len).astype(np.int32)
+        for _ in range(requests)
+    ]
+
+    ttfts = [0.0] * requests
+    totals = [0.0] * requests
+
+    def client(index):
+        begin = time.perf_counter()
+        chunks = service.submit_stream(
+            prompts[index], length, temperature=temperature
+        )
+        next(chunks)  # prompt echo — immediate
+        next(chunks)  # first generated chunk
+        ttfts[index] = time.perf_counter() - begin
+        for _ in chunks:
+            pass
+        totals[index] = time.perf_counter() - begin
+
+    def burst():
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(requests)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    try:
+        burst()  # compile warm-up (segment programs + the prefill program)
+        start = time.perf_counter()
+        burst()
+        elapsed = time.perf_counter() - start
+    finally:
+        service.close()
+
+    ttft = np.sort(np.asarray(ttfts))
+    total = np.sort(np.asarray(totals))
+    return {
+        "metric": "long_prompt_ttft_p95_seconds",
+        "value": round(float(ttft[int(0.95 * (requests - 1))]), 4),
+        "unit": "s",
+        "vs_baseline": round(
+            requests * length / elapsed / DECODE_TARGET_EVENTS_PER_SEC, 3
+        ),
+        "detail": {
+            "prefill": prefill,
+            "prompt_len": prompt_len, "length": length,
+            "requests": requests,
+            "ttft_p50_s": round(float(ttft[int(0.50 * (requests - 1))]), 4),
+            "ttft_p95_s": round(float(ttft[int(0.95 * (requests - 1))]), 4),
+            "total_p95_s": round(float(total[int(0.95 * (requests - 1))]), 4),
+            "events_per_sec": round(requests * length / elapsed, 1),
+            "slots": slots, "seg_steps": seg_steps,
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_preprocess_benchmark(num_files: int = 240, num_workers: int = 16,
                              seed: int = 0, scaling_workers=(1, 4, 16)):
     """MIDI -> .data preprocessing throughput (BASELINE.md row 3).
@@ -1003,14 +1105,34 @@ def run_all(write_markdown=True):
         ),
         (
             # Wide models (embed 1024: ~200 MB of packed weights) overflow
-            # the megakernel's VMEM weight residency and decode through the
-            # XLA scan engine — the path the VMEM gate
-            # (train/generate.py::_packed_weight_bytes) routes them to.
+            # the megakernel's VMEM weight residency; this row is the XLA
+            # scan fallback they were routed to before round 4 — the
+            # baseline the streaming wide kernel row below must beat >= 2x.
             "wide-model decode (embed 1024, batch 8, XLA scan engine)",
             lambda: run_decode_benchmark(
                 batch_size=8, length=1014, embed_dim=1024, engine="xla",
                 repeats=2,
             ),
+        ),
+        (
+            # The round-4 streaming wide kernel: weights + KV prefix stream
+            # from HBM through one fused program (ops/decode_kernel_wide.py)
+            # — the engine 'auto' now routes weights-over-VMEM models to.
+            "wide-model decode (embed 1024, batch 8, streaming wide kernel)",
+            lambda: run_decode_benchmark(
+                batch_size=8, length=1014, embed_dim=1024, engine="wide",
+                repeats=2,
+            ) if on_tpu else {"error": "wide kernel bench skipped off-TPU"},
+        ),
+        (
+            "long-prompt serving TTFT (prompt 512, continuous, NO prefill)",
+            lambda: run_long_prompt_serving_benchmark(prefill=False)
+            if on_tpu else {"error": "long-prompt bench skipped off-TPU"},
+        ),
+        (
+            "long-prompt serving TTFT (prompt 512, continuous, XLA prefill)",
+            lambda: run_long_prompt_serving_benchmark(prefill=True)
+            if on_tpu else {"error": "long-prompt bench skipped off-TPU"},
         ),
         ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
         (

@@ -486,7 +486,8 @@ class ContinuousGenerationService(_OverloadControlMixin):
                  cache_len: int = 2048, seed: int = 0,
                  interpret: Optional[bool] = None, dtype=None,
                  kv_vmem_mb: float = 64.0,
-                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0):
+                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0,
+                 prefill_min: int = 128):
         if model_type != ModelType.TRANSFORMER:
             raise InvalidParameterError(
                 "Continuous batching requires a transformer model."
@@ -504,7 +505,15 @@ class ContinuousGenerationService(_OverloadControlMixin):
         self.model = model
         self.model_type = model_type
         self.config = model.config
+        self.variables = variables  # kept for admission-time prefill
         self.vocab_size = vocab_size
+        # Prompts with at least this many events are admitted with a
+        # PARALLEL PREFILL: one XLA forward fills the slot's KV rows for
+        # the prefix and the row starts mid-prompt, instead of spending
+        # ~prompt_length sequential kernel steps (spread over segments)
+        # before its first generated token. <= 0 disables.
+        self.prefill_min = int(prefill_min)
+        self._prefill_fn = None  # built lazily (jitted per prefix bucket)
         if dtype is None:
             dtype = (
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -645,6 +654,59 @@ class ContinuousGenerationService(_OverloadControlMixin):
             )
 
     # ------------------------------------------------------------------ worker
+    def _prefix_rows(self, prefix_len: int):
+        """Prompt-prefix lengths bucket to powers of two so the jitted
+        prefill compiles once per bucket, not once per prompt length."""
+        size = 1
+        while size * 2 <= prefix_len:
+            size *= 2
+        return size
+
+    def _prefill_slot(self, prompt_ids: np.ndarray, slot: int) -> int:
+        """Runs the XLA prefill for this slot's prompt prefix and scatters
+        the cache rows into the carried segment state; returns the number
+        of prefilled positions (0 = below threshold / disabled)."""
+        plen = prompt_ids.shape[0]
+        if self.prefill_min <= 0 or plen - 1 < self.prefill_min:
+            return 0
+        rows = self._prefix_rows(plen - 1)
+
+        if self._prefill_fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from composer_tpu.models.transformer import init_cache
+            from composer_tpu.ops.decode_kernel import cache_to_rows
+
+            model, config, variables = self.model, self.config, self.variables
+            lanes = self._state[0].shape[2]  # lane-padded embed dim
+
+            def prefill(prefix_row, kbuf, vbuf, slot_index):
+                cache = init_cache(config, 1, prefix_row.shape[1])
+                _, cache = model.apply({"params": variables}, prefix_row, cache)
+                k_rows, v_rows = cache_to_rows(
+                    cache, config, prefix_row.shape[1], dtype=kbuf.dtype
+                )  # (L, S, E)
+                pad = lanes - k_rows.shape[2]
+                if pad:
+                    k_rows = jnp.pad(k_rows, ((0, 0), (0, 0), (0, pad)))
+                    v_rows = jnp.pad(v_rows, ((0, 0), (0, 0), (0, pad)))
+                start = (0, slot_index * self.cache_len, 0)
+                return (
+                    jax.lax.dynamic_update_slice(kbuf, k_rows, start),
+                    jax.lax.dynamic_update_slice(vbuf, v_rows, start),
+                )
+
+            self._prefill_fn = jax.jit(prefill, donate_argnums=(1, 2))
+
+        kbuf, vbuf, carry = self._state
+        kbuf, vbuf = self._prefill_fn(
+            prompt_ids[None, :rows].astype(np.int32), kbuf, vbuf,
+            np.int32(slot),
+        )
+        self._state = (kbuf, vbuf, carry)
+        return rows
+
     def _admit(self, request: _Request, slot: int):
         self._requests[slot] = request
         self._collected[slot] = []
@@ -652,7 +714,15 @@ class ContinuousGenerationService(_OverloadControlMixin):
         self._prompts[slot, :] = 0
         self._prompts[slot, :plen] = request.prompt_ids
         self._plens[slot] = plen
-        self._starts[slot] = self._step
+        # Long prompts: prefill the prefix in one XLA pass and start the
+        # row's position clock mid-prompt — cache rows [0, prefilled)
+        # already hold the prefix, so the kernel teacher-forces only the
+        # remainder. (Sampled rows draw from (seed, global step), so a
+        # prefilled admission samples at different steps than an
+        # unprefilled one would — the same service-level seed semantics as
+        # admission timing itself.)
+        prefilled = self._prefill_slot(request.prompt_ids, slot)
+        self._starts[slot] = self._step - prefilled
         self._temps[slot] = request.temperature
         self._topks[slot] = request.top_k
         self._topps[slot] = request.top_p

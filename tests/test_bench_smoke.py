@@ -78,3 +78,14 @@ def test_overload_soak_benchmark_smoke():
     assert detail["final_queue_depth"] == 0
     assert detail["completed"] + detail["rejected"] + detail["expired"] + \
         detail["other_errors"] == detail["requests"]
+
+
+def test_long_prompt_benchmark_smoke():
+    result = bench.run_long_prompt_serving_benchmark(
+        prompt_len=12, length=4, requests=2, slots=2, seg_steps=4,
+        embed_dim=32, num_layers=1, cache_len=128, temperature=0.0,
+        prefill=True, prefill_min=4,
+    )
+    _check_schema(result)
+    assert result["detail"]["ttft_p95_s"] > 0
+    assert result["detail"]["total_p95_s"] >= result["detail"]["ttft_p95_s"]

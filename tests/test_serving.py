@@ -655,3 +655,38 @@ def test_http_overload_status_codes(server):
     assert body["requests_expired"] >= 1
     assert "queue_depth" in body and "latency_p95_s" in body
     assert body["latency_p95_s"] > 0
+
+
+def test_continuous_admission_prefill_matches_unprefilled():
+    """Long-prompt admission prefill (one XLA forward + slot scatter, row
+    clock started mid-prompt) returns exactly the tokens of token-by-token
+    teacher forcing — greedy, f32 (VERDICT r3 item 2, continuous engine)."""
+    import jax
+
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    prompt = list(np.random.default_rng(8).integers(0, VOCAB, 17))
+
+    outputs = {}
+    for prefill_min, label in ((0, "forced"), (4, "prefilled")):
+        service = ContinuousGenerationService(
+            model, ModelType.TRANSFORMER, params, VOCAB,
+            slots=2, seg_steps=4, cache_len=128, prefill_min=prefill_min,
+        )
+        try:
+            outputs[label] = service.submit(prompt, 6, temperature=0.0)
+            # A second request through the same (now dirtied) state still
+            # matches — prefill scatters must not corrupt other slots.
+            outputs[label + "2"] = service.submit(
+                prompt[:9], 5, temperature=0.0
+            )
+        finally:
+            service.close()
+    np.testing.assert_array_equal(outputs["forced"], outputs["prefilled"])
+    np.testing.assert_array_equal(outputs["forced2"], outputs["prefilled2"])
