@@ -655,12 +655,11 @@ class ContinuousGenerationService(_OverloadControlMixin):
 
     # ------------------------------------------------------------------ worker
     def _prefix_rows(self, prefix_len: int):
-        """Prompt-prefix lengths bucket to powers of two so the jitted
-        prefill compiles once per bucket, not once per prompt length."""
-        size = 1
-        while size * 2 <= prefix_len:
-            size *= 2
-        return size
+        """Prompt-prefix lengths bucket to 64-multiples so the jitted
+        prefill compiles per bucket, not per prompt length (64 keeps the
+        bucket within ~1 segment of the full prefix — pow2 would leave a
+        511-token prefix half teacher-forced)."""
+        return (prefix_len // 64) * 64 if prefix_len >= 64 else prefix_len
 
     def _prefill_slot(self, prompt_ids: np.ndarray, slot: int) -> int:
         """Runs the XLA prefill for this slot's prompt prefix and scatters

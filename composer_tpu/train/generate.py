@@ -503,7 +503,12 @@ class TransformerDecoder:
         if prefill_min <= 0 or prefill_start < prefill_min:
             prefill_start = 0
         else:
-            prefill_start = _pow2_floor(prefill_start)
+            # 64-multiples: deep enough prefill (a 511-token prefix buckets
+            # to 448, not pow2's 256) with a bounded compile cache (serving
+            # prompts bucket to powers of two already). Below 64 (reachable
+            # only with a lowered threshold) the exact length is used.
+            if prefill_start >= 64:
+                prefill_start = (prefill_start // 64) * 64
 
         outputs = []
         dummy_rows = None

@@ -512,8 +512,8 @@ class TestInKernelSamplingFilters:
         seen = []
 
         def fake_pipeline(packed, prompt, plens, seed, temps, topks,
-                          topps, cache_len, length, greedy, use_k, use_p,
-                          ragged):
+                          topps, krows, vrows, cache_len, length, greedy,
+                          use_k, use_p, ragged, start):
             seen.append((topks, topps, greedy, use_k, use_p))
             return jnp.zeros((prompt.shape[0], length), jnp.int32)
 

@@ -115,7 +115,8 @@ def test_prefill_requires_rows_and_valid_start(setup):
 
 def test_engine_buckets_prefill_start(setup, monkeypatch):
     """TransformerDecoder engages prefill above the threshold, buckets the
-    start to a power of two, and passes the exported rows through."""
+    start (64-multiples; exact below 64), and passes the exported rows
+    through."""
     from composer_tpu.train import generate as gen
 
     model, params = setup
@@ -133,7 +134,7 @@ def test_engine_buckets_prefill_start(setup, monkeypatch):
     engine._pipeline = fake_pipeline
     prompts = np.zeros((2, 14), np.int32)
     engine.generate(prompts, length=4, temperature=0.0)
-    assert seen["start"] == 8  # pow2 floor of min(plens) - 1 = 13
+    assert seen["start"] == 13  # below 64: exact prefix (64-multiples above)
     assert seen["krows_shape"] == (
         model.config.num_layers, 2 * 128, model.config.embed_dim
     )
