@@ -556,8 +556,14 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
               help="Sample only from the k most likely events (0 disables; addition over the reference).")
 @click.option("--top-p", default=0.0,
               help="Nucleus sampling: smallest probability mass p to sample from (0 disables; addition over the reference).")
+@click.option("--engine", default="auto",
+              type=click.Choice(["auto", "megakernel", "wide", "xla", "spec"]),
+              help="Decode engine. 'auto' picks the fused kernels on TPU; "
+                   "'spec' opts into speculative block decoding (n-gram "
+                   "drafts verified in parallel — fastest single-sequence "
+                   "path on repetitive music).")
 def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
-             generate_length, temperature, top_k, top_p):
+             generate_length, temperature, top_k, top_p, engine):
     """Generate a MIDI file (KV-cached on-device scan decode)."""
     from composer_tpu.midi.events import EventSequence
     from composer_tpu.train.generate import generate_ids
@@ -602,7 +608,7 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
     ids = generate_ids(
         trainer.model, model_type, variables, prompt_ids,
         length=generate_length, temperature=temperature, seed=get_seed(),
-        top_k=top_k, top_p=top_p,
+        top_k=top_k, top_p=top_p, engine=engine,
     )
 
     event_sequence = EventSequence.from_ids(

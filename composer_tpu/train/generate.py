@@ -262,7 +262,7 @@ def _padded_cache_len(cache_len: int) -> int:
 
 
 def _use_megakernel(model, model_type, batch: int, cache_len: int, engine: str) -> bool:
-    if engine in ("xla", "wide"):
+    if engine in ("xla", "wide", "spec"):
         return False
     if model_type != ModelType.TRANSFORMER:
         return False
@@ -658,6 +658,58 @@ class WideTransformerDecoder:
 _ENGINE_CACHE = {}
 _WIDE_ENGINE_CACHE = {}
 
+# Stats vector of the most recent speculative generate: [total_blocks,
+# generation_blocks, final_position, 0...] — benches and tests read the
+# realized acceptance (length / generation_blocks) from here.
+LAST_SPEC_STATS = None
+
+
+def _packed_engine(model, params):
+    key = (id(model), id(params))
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = TransformerDecoder(model, params)
+        _ENGINE_CACHE.clear()  # keep at most one packed engine alive
+        _ENGINE_CACHE[key] = engine
+    return engine
+
+
+def _spec_generate(model, params, prompt, length, temps, seed, cache_len,
+                   top_k=0, top_p=0.0):
+    """Speculative block decode (opt-in ``engine='spec'``): the n-gram-drafted
+    verify kernel, sharing the resident megakernel's packed weights."""
+    from composer_tpu.ops.decode_kernel import sampling_flags
+    from composer_tpu.ops.decode_kernel_spec import speculative_generate
+
+    global LAST_SPEC_STATS
+    engine = _packed_engine(model, params)
+    row = np.asarray(prompt, np.int32).reshape(-1)
+    greedy, use_kk, use_pp = sampling_flags(temps, top_k, top_p)
+    tokens, stats = speculative_generate(
+        engine.packed, row, seed, temps,
+        config=model.config, length=length,
+        cache_len=max(_padded_cache_len(cache_len), row.shape[0] + length),
+        interpret=jax.default_backend() != "tpu",
+        top_k=top_k, top_p=top_p,
+        greedy=greedy, use_k=use_kk, use_p=use_pp,
+    )
+    LAST_SPEC_STATS = np.asarray(stats)
+    return np.asarray(tokens)[None, :]
+
+
+def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
+                     engine: str) -> bool:
+    """Opt-in routing for the speculative engine: batch 1 only (the block
+    verify trades MXU rows for positions — at batch > 1 the batched kernel
+    already fills them with sequences), resident-weight models only."""
+    if engine != "spec":
+        return False
+    if model_type != ModelType.TRANSFORMER or batch != 1:
+        return False
+    if not getattr(model.config, "use_layer_norm", True):
+        return False
+    return _megakernel_chunk(model.config, 1, _padded_cache_len(cache_len)) > 0
+
 
 def _wide_generate(model, params, prompt, length, temperature, seed,
                    cache_len, top_k=0, top_p=0.0, prompt_lengths=None):
@@ -676,12 +728,7 @@ def _wide_generate(model, params, prompt, length, temperature, seed,
 
 def _megakernel_generate(model, params, prompt, length, temperature, seed,
                          cache_len, top_k=0, top_p=0.0, prompt_lengths=None):
-    key = (id(model), id(params))
-    engine = _ENGINE_CACHE.get(key)
-    if engine is None:
-        engine = TransformerDecoder(model, params)
-        _ENGINE_CACHE.clear()  # keep at most one packed engine alive
-        _ENGINE_CACHE[key] = engine
+    engine = _packed_engine(model, params)
     return engine.generate(
         prompt, length, temperature=temperature, seed=seed,
         cache_len=max(cache_len, 128), top_k=top_k, top_p=top_p,
@@ -727,7 +774,11 @@ def generate_ids(
 
     ``engine``: 'auto' (fused kernels on TPU — the resident megakernels
     when the packed weights fit VMEM, the streaming wide kernel when they
-    don't — XLA scan otherwise), 'megakernel', 'wide', or 'xla'.
+    don't — XLA scan otherwise), 'megakernel', 'wide', 'xla', or 'spec'
+    (batch-1 speculative block decode: n-gram-drafted tokens verified in
+    parallel — greedy output bit-identical to the megakernel, sampled
+    output distributed identically; falls back to the other engines for
+    batches > 1 or weights-over-VMEM models).
     ``top_k``/``top_p`` filter the sampling distribution (0 disables each;
     beyond the reference, whose sampler was temperature-only). The fused
     kernels implement both filters in-kernel (rank/nucleus thresholds via
@@ -767,7 +818,14 @@ def generate_ids(
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        if _use_megakernel(
+        if _use_spec_kernel(model, model_type, prompt.shape[0], cache_len, engine):
+            if prompt_lengths is not None:
+                prompt = prompt[:, : int(plens[0])]
+            generated = _spec_generate(
+                model, params_or_variables, prompt, length, temps, seed,
+                cache_len, top_k=topks, top_p=topps,
+            )
+        elif _use_megakernel(
             model, model_type, prompt.shape[0], cache_len, engine
         ):
             generated = _megakernel_generate(
