@@ -167,9 +167,10 @@ def _spec_decode_kernel(
         last1 = tail[0:1, 1:2]  # (1, 1) ids[p0]
         last2 = tail[0:1, 0:1]  # (1, 1) ids[p0-1]
         eq_cur = ids_row == last1
-        # Roll the comparison RESULT right by one: lane c then holds
-        # (ids[c-1] == ids[p0-1]) — the previous-token context match.
-        eq_prev_sh = pltpu.roll((ids_row == last2), 1, axis=1)
+        # Lane c of the rolled id row holds ids[c-1]: the previous-token
+        # context match (roll the i32 row, not the bool mask — Mosaic's
+        # rotate only handles 32-bit lanes).
+        eq_prev_sh = pltpu.roll(ids_row, 1, axis=1) == last2
         # The draft window ids[c+1 .. c+T-1] must lie entirely inside the
         # validated stream (<= p0): a match near the frontier would draft
         # unwritten garbage. For periodic content a deeper occurrence of the
@@ -374,9 +375,10 @@ def _spec_decode_kernel(
         # not exercised anywhere else).
         succ = roll_left(ids_buf[0:1, :], p0 + 1)[0:1, 0:T]  # lane t: in_tok[t+1]
         forced = (p0 + lane_t + 1) < plen
-        match = jnp.where(
-            lane_t < T - 1, forced | (s_row == succ), False
-        )  # (1, T); lane T-1 has no successor in the block
+        # (1, T); lane T-1 has no successor in the block. Plain boolean
+        # algebra — a where(c, x, False) lowers through an i8->i1 truncation
+        # Mosaic rejects.
+        match = (lane_t < T - 1) & (forced | (s_row == succ))
         viol_col = 1.0 - jnp.transpose(match.astype(jnp.float32))  # (T, 1)
         cum_viol = jax.lax.dot_general(
             tri, viol_col,
