@@ -379,6 +379,144 @@ def run_rnn_decode_benchmark(length: int = 1024, batch_size: int = 8, repeats: i
     }
 
 
+def run_speculative_benchmark(
+    length: int = 1014,
+    prompt_length: int = 10,
+    repeats: int = 3,
+    seed: int = 0,
+    restoredir: str = None,
+):
+    """Batch-1 speculative block decode vs the sequential megakernel.
+
+    Speculative throughput is acceptance-dependent, so three regimes are
+    measured (all on-device marginal via profiler differencing):
+
+    * ``floor``: temperature-1.0 sampling on random weights — the stream is
+      near-uniform, the n-gram draft almost never hits, and every block
+      pays the verify cost for ~1 token. The engine's worst case.
+    * ``cycle``: greedy on random weights — random transformers fall into
+      short cycles the lookup predicts perfectly; an upper bound.
+    * ``trained`` (when ``restoredir`` or ``$COMPOSER_SPEC_RESTOREDIR``
+      points at a trained logdir): temperature-0.9 sampling on the real
+      model — the realized acceptance on actual music. This is the number
+      that matters; docs/validation.md records the round-4 measurement.
+
+    The headline ``value`` is the trained marginal when available, else the
+    floor (never the cycle — it flatters).
+    """
+    import os as _os
+
+    from composer_tpu.ops import decode_kernel as dk
+    from composer_tpu.ops import decode_kernel_spec as dks
+
+    if jax.default_backend() != "tpu":
+        return {"error": "speculative bench requires TPU (compiled kernel)"}
+
+    restoredir = restoredir or _os.environ.get("COMPOSER_SPEC_RESTOREDIR")
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, 390, prompt_length).astype(np.int32)
+
+    def measure(config, packed, temperature, pr):
+        cache = int(pr.shape[0]) + length
+
+        def call(gen_len):
+            def run():
+                tokens, stats = dks.speculative_generate(
+                    packed, pr, seed, temperature,
+                    config=config, length=gen_len, cache_len=cache,
+                )
+                return np.asarray(tokens), np.asarray(stats)
+            return run
+
+        short = length // 2
+        long_run, short_run = call(length), call(short)
+        _, stats = long_run()
+        short_run()
+        long_s = _device_seconds_per_call(lambda: long_run()[0])
+        short_s = _device_seconds_per_call(lambda: short_run()[0])
+        marginal = None
+        if long_s and short_s and long_s > short_s:
+            marginal = round((length - short) / (long_s - short_s), 1)
+        gen_blocks = max(int(stats[1]), 1)
+        return marginal, round(length / gen_blocks, 2)
+
+    def seq_marginal(config, packed, temperature, pr):
+        cache = int(pr.shape[0]) + length
+
+        def call(gen_len):
+            def run():
+                return np.asarray(dk.megakernel_generate(
+                    packed, pr, seed, temperature,
+                    config=config, length=gen_len, cache_len=cache,
+                ))
+            return run
+
+        short = length // 2
+        long_run, short_run = call(length), call(short)
+        long_run(); short_run()
+        long_s = _device_seconds_per_call(long_run)
+        short_s = _device_seconds_per_call(short_run)
+        if long_s and short_s and long_s > short_s:
+            return round((length - short) / (long_s - short_s), 1)
+        return None
+
+    model = _default_transformer(False, jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(seed), 1, 8)
+    packed = dk.pack_weights(params, model.config, dtype=jnp.bfloat16)
+
+    detail = {
+        "length": length, "prompt_length": prompt_length,
+        "backend": jax.default_backend(), "block": dks.SPEC_BLOCK,
+    }
+    floor_m, floor_acc = measure(model.config, packed, 1.0, prompt)
+    cycle_m, cycle_acc = measure(model.config, packed, 0.0, prompt)
+    detail["floor"] = {
+        "on_device_marginal": floor_m, "tokens_per_block": floor_acc,
+        "temperature": 1.0,
+    }
+    detail["cycle"] = {
+        "on_device_marginal": cycle_m, "tokens_per_block": cycle_acc,
+        "temperature": 0.0,
+    }
+    detail["sequential_on_device_marginal"] = seq_marginal(
+        model.config, packed, 1.0, prompt
+    )
+
+    value = floor_m
+    if restoredir:
+        from composer_tpu.cli import _make_trainer, get_config_from_restoredir
+        from composer_tpu.models import (
+            ModelType, get_batch_size, get_window_size,
+        )
+
+        config = get_config_from_restoredir(restoredir)
+        trainer = _make_trainer(ModelType.TRANSFORMER, config)
+        state = trainer.restore(
+            restoredir,
+            get_batch_size(ModelType.TRANSFORMER, config),
+            get_window_size(ModelType.TRANSFORMER, config),
+        )
+        tpacked = dk.pack_weights(
+            state.params, trainer.model.config, dtype=jnp.bfloat16
+        )
+        trained_m, trained_acc = measure(
+            trainer.model.config, tpacked, 0.9, prompt
+        )
+        detail["trained"] = {
+            "on_device_marginal": trained_m, "tokens_per_block": trained_acc,
+            "temperature": 0.9, "restoredir": str(restoredir),
+        }
+        value = trained_m
+
+    return {
+        "metric": "speculative_decode_events_per_sec",
+        "value": value,
+        "unit": "events/sec/chip (on-device marginal)",
+        "vs_baseline": round((value or 0) / DECODE_TARGET_EVENTS_PER_SEC, 3),
+        "detail": detail,
+    }
+
+
 def run_serving_benchmark(
     concurrency: int = 32,
     length: int = 1014,
@@ -1133,6 +1271,15 @@ def run_all(write_markdown=True):
             "long-prompt serving TTFT (prompt 512, continuous, XLA prefill)",
             lambda: run_long_prompt_serving_benchmark(prefill=True)
             if on_tpu else {"error": "long-prompt bench skipped off-TPU"},
+        ),
+        (
+            # Round-4 speculative engine: acceptance-dependent, so the row
+            # reports floor (sampled random weights) / cycle (greedy) and,
+            # with $COMPOSER_SPEC_RESTOREDIR set, the realized trained-model
+            # rate (docs/validation.md records the round-4 measurement).
+            "speculative decode (batch 1, n-gram drafts, block verify)",
+            lambda: run_speculative_benchmark()
+            if on_tpu else {"error": "speculative bench skipped off-TPU"},
         ),
         ("LSTM decode (batch 8 x 1024, stateful scan)", run_rnn_decode_benchmark),
         (
