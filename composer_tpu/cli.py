@@ -650,9 +650,14 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
 @click.option("--default-deadline-ms", default=0.0,
               help="Deadline applied to requests that send no 'deadline_ms'; "
                    "expiry returns HTTP 503. 0 (default) = none.")
+@click.option("--prefix-cache-mb", default=32.0,
+              help="Continuous mode: HBM budget for the cross-request "
+                   "prompt-prefix KV cache (repeated prompts admit with one "
+                   "scatter instead of a prefix forward). 0 disables. "
+                   "Defaults to 32 MiB.")
 def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
           default_length, continuous, seg_steps, serve_cache_len,
-          max_queue_depth, default_deadline_ms):
+          max_queue_depth, default_deadline_ms, prefix_cache_mb):
     """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
 
     Restores the model once, keeps it resident on the device, and coalesces
@@ -687,6 +692,7 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
             cache_len=serve_cache_len, seed=get_seed(),
             max_queue_depth=max_queue_depth,
             default_deadline_ms=default_deadline_ms,
+            prefix_cache_mb=prefix_cache_mb,
         )
     else:
         service = GenerationService(

@@ -39,7 +39,7 @@ import logging
 import queue
 import threading
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -487,7 +487,7 @@ class ContinuousGenerationService(_OverloadControlMixin):
                  interpret: Optional[bool] = None, dtype=None,
                  kv_vmem_mb: float = 64.0,
                  max_queue_depth: int = 0, default_deadline_ms: float = 0.0,
-                 prefill_min: int = 128):
+                 prefill_min: int = 128, prefix_cache_mb: float = 32.0):
         if model_type != ModelType.TRANSFORMER:
             raise InvalidParameterError(
                 "Continuous batching requires a transformer model."
@@ -514,6 +514,20 @@ class ContinuousGenerationService(_OverloadControlMixin):
         # before its first generated token. <= 0 disables.
         self.prefill_min = int(prefill_min)
         self._prefill_fn = None  # built lazily (jitted per prefix bucket)
+        # Cross-request prefix cache: the KV rows an admission prefill
+        # computes are a pure function of the (bucketed) prompt prefix, so
+        # repeated prompts — retries, shared few-shot stems, regenerations
+        # at new seeds — skip the prefix forward entirely and admit with
+        # one on-device scatter. Entries are device arrays, LRU-evicted
+        # against an HBM byte budget. 0 disables. (vLLM-style automatic
+        # prefix caching, simplified to whole-prefix granularity — the
+        # 64-multiple buckets make exact-prefix hits common.)
+        self.prefix_cache_bytes = int(max(0.0, prefix_cache_mb) * 1024 * 1024)
+        self._prefix_cache = OrderedDict()  # prefix bytes -> (k_rows, v_rows)
+        self._prefix_cache_used = 0
+        self.prefix_cache_hits = 0
+        self.prefix_cache_misses = 0
+        self._scatter_fn = None  # built with _prefill_fn
         if dtype is None:
             dtype = (
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -631,6 +645,18 @@ class ContinuousGenerationService(_OverloadControlMixin):
             self._queue.put(None)
         self._worker.join(timeout=60)
         self._drain_queue()
+        self._prefix_cache.clear()  # release the cached device rows
+        self._prefix_cache_used = 0
+
+    def overload_stats(self) -> dict:
+        stats = super().overload_stats()
+        stats.update({
+            "prefix_cache_entries": len(self._prefix_cache),
+            "prefix_cache_bytes": int(self._prefix_cache_used),
+            "prefix_cache_hits": int(self.prefix_cache_hits),
+            "prefix_cache_misses": int(self.prefix_cache_misses),
+        })
+        return stats
 
     def _validate(self, request: _Request):
         prompt, length = request.prompt_ids, request.length
@@ -661,9 +687,55 @@ class ContinuousGenerationService(_OverloadControlMixin):
         511-token prefix half teacher-forced)."""
         return (prefix_len // 64) * 64 if prefix_len >= 64 else prefix_len
 
+    def _build_prefill_fns(self):
+        import jax
+        import jax.numpy as jnp
+
+        from composer_tpu.models.transformer import init_cache
+        from composer_tpu.ops.decode_kernel import cache_to_rows
+
+        model, config, variables = self.model, self.config, self.variables
+        lanes = self._state[0].shape[2]  # lane-padded embed dim
+
+        def scatter(k_rows, v_rows, kbuf, vbuf, slot_index):
+            start = (0, slot_index * self.cache_len, 0)
+            return (
+                jax.lax.dynamic_update_slice(kbuf, k_rows, start),
+                jax.lax.dynamic_update_slice(vbuf, v_rows, start),
+            )
+
+        def prefill(prefix_row, kbuf, vbuf, slot_index):
+            cache = init_cache(config, 1, prefix_row.shape[1])
+            _, cache = model.apply({"params": variables}, prefix_row, cache)
+            k_rows, v_rows = cache_to_rows(
+                cache, config, prefix_row.shape[1], dtype=kbuf.dtype
+            )  # (L, S, E)
+            pad = lanes - k_rows.shape[2]
+            if pad:
+                k_rows = jnp.pad(k_rows, ((0, 0), (0, 0), (0, pad)))
+                v_rows = jnp.pad(v_rows, ((0, 0), (0, 0), (0, pad)))
+            kbuf, vbuf = scatter(k_rows, v_rows, kbuf, vbuf, slot_index)
+            # The rows ride along so a cache insert costs no second
+            # dispatch; they stay on-device.
+            return kbuf, vbuf, k_rows, v_rows
+
+        self._prefill_fn = jax.jit(prefill, donate_argnums=(1, 2))
+        self._scatter_fn = jax.jit(scatter, donate_argnums=(2, 3))
+
+    def _prefix_cache_insert(self, key: bytes, k_rows, v_rows) -> None:
+        nbytes = 2 * int(k_rows.size) * k_rows.dtype.itemsize
+        if nbytes > self.prefix_cache_bytes:
+            return
+        self._prefix_cache[key] = (k_rows, v_rows)
+        self._prefix_cache_used += nbytes
+        while self._prefix_cache_used > self.prefix_cache_bytes:
+            _, (old_k, _v) = self._prefix_cache.popitem(last=False)
+            self._prefix_cache_used -= 2 * int(old_k.size) * old_k.dtype.itemsize
+
     def _prefill_slot(self, prompt_ids: np.ndarray, slot: int) -> int:
-        """Runs the XLA prefill for this slot's prompt prefix and scatters
-        the cache rows into the carried segment state; returns the number
+        """Fills the slot's KV cache rows for the prompt prefix — from the
+        cross-request prefix cache when the exact (bucketed) prefix was
+        prefilled before, else with one XLA forward — and returns the number
         of prefilled positions (0 = below threshold / disabled)."""
         plen = prompt_ids.shape[0]
         if self.prefill_min <= 0 or plen - 1 < self.prefill_min:
@@ -671,38 +743,25 @@ class ContinuousGenerationService(_OverloadControlMixin):
         rows = self._prefix_rows(plen - 1)
 
         if self._prefill_fn is None:
-            import jax
-            import jax.numpy as jnp
+            self._build_prefill_fns()
 
-            from composer_tpu.models.transformer import init_cache
-            from composer_tpu.ops.decode_kernel import cache_to_rows
-
-            model, config, variables = self.model, self.config, self.variables
-            lanes = self._state[0].shape[2]  # lane-padded embed dim
-
-            def prefill(prefix_row, kbuf, vbuf, slot_index):
-                cache = init_cache(config, 1, prefix_row.shape[1])
-                _, cache = model.apply({"params": variables}, prefix_row, cache)
-                k_rows, v_rows = cache_to_rows(
-                    cache, config, prefix_row.shape[1], dtype=kbuf.dtype
-                )  # (L, S, E)
-                pad = lanes - k_rows.shape[2]
-                if pad:
-                    k_rows = jnp.pad(k_rows, ((0, 0), (0, 0), (0, pad)))
-                    v_rows = jnp.pad(v_rows, ((0, 0), (0, 0), (0, pad)))
-                start = (0, slot_index * self.cache_len, 0)
-                return (
-                    jax.lax.dynamic_update_slice(kbuf, k_rows, start),
-                    jax.lax.dynamic_update_slice(vbuf, v_rows, start),
-                )
-
-            self._prefill_fn = jax.jit(prefill, donate_argnums=(1, 2))
-
+        prefix = prompt_ids[:rows].astype(np.int32)
+        key = prefix.tobytes() if self.prefix_cache_bytes else None
         kbuf, vbuf, carry = self._state
-        kbuf, vbuf = self._prefill_fn(
-            prompt_ids[None, :rows].astype(np.int32), kbuf, vbuf,
-            np.int32(slot),
-        )
+        cached = self._prefix_cache.get(key) if key is not None else None
+        if cached is not None:
+            self._prefix_cache.move_to_end(key)
+            self.prefix_cache_hits += 1
+            kbuf, vbuf = self._scatter_fn(
+                cached[0], cached[1], kbuf, vbuf, np.int32(slot)
+            )
+        else:
+            kbuf, vbuf, k_rows, v_rows = self._prefill_fn(
+                prefix[None], kbuf, vbuf, np.int32(slot)
+            )
+            if key is not None:
+                self.prefix_cache_misses += 1
+                self._prefix_cache_insert(key, k_rows, v_rows)
         self._state = (kbuf, vbuf, carry)
         return rows
 

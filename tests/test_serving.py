@@ -690,3 +690,106 @@ def test_continuous_admission_prefill_matches_unprefilled():
             service.close()
     np.testing.assert_array_equal(outputs["forced"], outputs["prefilled"])
     np.testing.assert_array_equal(outputs["forced2"], outputs["prefilled2"])
+
+
+def test_prefix_cache_hit_matches_cold_admission():
+    """A repeated prompt's second admission comes from the cross-request
+    prefix cache (KV rows are a pure function of the prefix, so a cached
+    scatter is bit-identical to recomputing the prefix forward)."""
+    import jax
+
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    rng = np.random.default_rng(11)
+    long_prompt = list(rng.integers(0, VOCAB, 17))
+    other_prompt = list(rng.integers(0, VOCAB, 17))
+
+    outputs = {}
+    stats = {}
+    for cache_mb, label in ((0.0, "cold"), (8.0, "cached")):
+        service = ContinuousGenerationService(
+            model, ModelType.TRANSFORMER, params, VOCAB,
+            slots=2, seg_steps=4, cache_len=128, prefill_min=4,
+            prefix_cache_mb=cache_mb,
+        )
+        try:
+            outputs[label] = service.submit(long_prompt, 6, temperature=0.0)
+            outputs[label + "_repeat"] = service.submit(
+                long_prompt, 6, temperature=0.0
+            )
+            outputs[label + "_other"] = service.submit(
+                other_prompt, 5, temperature=0.0
+            )
+            stats[label] = service.overload_stats()
+        finally:
+            service.close()
+
+    np.testing.assert_array_equal(outputs["cold"], outputs["cached"])
+    np.testing.assert_array_equal(
+        outputs["cold_repeat"], outputs["cached_repeat"]
+    )
+    np.testing.assert_array_equal(
+        outputs["cold_other"], outputs["cached_other"]
+    )
+    assert stats["cold"]["prefix_cache_hits"] == 0
+    assert stats["cold"]["prefix_cache_entries"] == 0
+    assert stats["cached"]["prefix_cache_hits"] == 1  # the repeat
+    assert stats["cached"]["prefix_cache_misses"] == 2  # two distinct prefixes
+    assert stats["cached"]["prefix_cache_entries"] == 2
+    assert stats["cached"]["prefix_cache_bytes"] > 0
+
+
+def test_prefix_cache_lru_eviction_respects_budget():
+    """Entries LRU-evict against the byte budget; an over-budget single
+    entry is not cached at all."""
+    import jax
+
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    rng = np.random.default_rng(12)
+    prompts = [list(rng.integers(0, VOCAB, 17)) for _ in range(3)]
+
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128, prefill_min=4,
+        prefix_cache_mb=8.0,
+    )
+    try:
+        service.submit(prompts[0], 4, temperature=0.0)
+        one_entry_bytes = service.overload_stats()["prefix_cache_bytes"]
+        assert one_entry_bytes > 0
+    finally:
+        service.close()
+
+    # Budget sized for exactly one entry: the third distinct prefix evicts
+    # the least-recently-used first one.
+    budget_mb = (one_entry_bytes + 1) / (1024 * 1024)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128, prefill_min=4,
+        prefix_cache_mb=budget_mb,
+    )
+    try:
+        for prompt in prompts:
+            service.submit(prompt, 4, temperature=0.0)
+        stats = service.overload_stats()
+        assert stats["prefix_cache_entries"] == 1
+        assert stats["prefix_cache_bytes"] <= one_entry_bytes + 1
+        assert stats["prefix_cache_misses"] == 3
+        # Re-submitting the (still cached) newest prompt hits.
+        service.submit(prompts[-1], 4, temperature=0.0)
+        assert service.overload_stats()["prefix_cache_hits"] == 1
+    finally:
+        service.close()
