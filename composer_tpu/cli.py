@@ -558,10 +558,12 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
               help="Nucleus sampling: smallest probability mass p to sample from (0 disables; addition over the reference).")
 @click.option("--engine", default="auto",
               type=click.Choice(["auto", "megakernel", "wide", "xla", "spec"]),
-              help="Decode engine. 'auto' picks the fused kernels on TPU; "
-                   "'spec' opts into speculative block decoding (n-gram "
-                   "drafts verified in parallel — fastest single-sequence "
-                   "path on repetitive music).")
+              help="Decode engine. 'auto' picks the fused kernels on TPU — "
+                   "including speculative block decoding for greedy "
+                   "single-sequence runs, where it is distribution-exact "
+                   "and measured ~1.4x the sequential kernel; 'spec' forces "
+                   "speculation for sampled runs too (wins on repetitive "
+                   "streams).")
 def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
              generate_length, temperature, top_k, top_p, engine):
     """Generate a MIDI file (KV-cached on-device scan decode)."""

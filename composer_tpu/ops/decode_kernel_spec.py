@@ -33,7 +33,10 @@ Each block step:
    target distribution when the proposal has mass on one token), so every
    block emits between 1 and T tokens, each distributed exactly as the
    sequential sampler's. Greedy decoding is bit-identical to the
-   non-speculative kernel by construction.
+   non-speculative kernel by construction (pinned exact under f32; under
+   bf16 compute, near-tie argmax flips from different accumulation
+   shapes can diverge the streams — the same benign class by which the
+   sequential megakernel and the XLA engine already differ under bf16).
 
 The loop is a ``lax.while_loop`` over blocks — the number of blocks is
 data-dependent (it shrinks as acceptance grows). Tokens are scattered to
@@ -65,10 +68,26 @@ from composer_tpu.ops.decode_kernel import (
     sampling_flags,
 )
 
-# Tokens advanced per verified block (1 real + T-1 drafted). 8 = one f32
-# sublane tile of samples and T*H = 128 score rows at the default 16 heads —
-# the MXU-native operand height.
-SPEC_BLOCK = int(os.environ.get("COMPOSER_SPEC_BLOCK", "8"))
+# Tokens advanced per verified block (1 real + T-1 drafted). Block cost
+# grows ~linearly in T (the T*H attention score rows), so the best T tracks
+# the realized acceptance: measured on a trained model (v5e-1, default
+# arch), greedy peaks at T=6 (111k vs 98k at T=8 vs 80k sequential
+# events/sec marginal) and sampled acceptance is draft-bound at ~1.2
+# tokens/block, where the smallest verify overhead wins (T=4: 78k, ~the
+# sequential rate). COMPOSER_SPEC_BLOCK forces one size for both regimes.
+SPEC_BLOCK_GREEDY = 6
+SPEC_BLOCK_SAMPLED = 4
+_SPEC_BLOCK_ENV = os.environ.get("COMPOSER_SPEC_BLOCK")
+# Back-compat module constant: the forced size when set, else the greedy
+# default (bench/telemetry reporting reads this).
+SPEC_BLOCK = int(_SPEC_BLOCK_ENV) if _SPEC_BLOCK_ENV else SPEC_BLOCK_GREEDY
+
+
+def default_block(greedy: bool) -> int:
+    """The measured-best block size for a sampling regime (env-overridable)."""
+    if _SPEC_BLOCK_ENV:
+        return int(_SPEC_BLOCK_ENV)
+    return SPEC_BLOCK_GREEDY if greedy else SPEC_BLOCK_SAMPLED
 
 # KV slab window the block append addresses: T consecutive positions span at
 # most two 16-row tiles.
@@ -571,16 +590,16 @@ def speculative_generate(
         raise ValueError(
             f"prompt ({plen}) + length ({length}) exceeds cache ({cache_len})"
         )
+    greedy, use_k, use_p = sampling_flags(
+        temperature, top_k, top_p, greedy, use_k, use_p
+    )
     if block is None:
-        block = SPEC_BLOCK
+        block = default_block(greedy)
     if block < 2 or block > 16:
         raise ValueError(f"speculative block must be in [2, 16], got {block}")
     C = _round_up(cache_len + block, 128)
     row = np.zeros((1, C), np.int32)
     row[0, :plen] = prompt
-    greedy, use_k, use_p = sampling_flags(
-        temperature, top_k, top_p, greedy, use_k, use_p
-    )
     return _spec_decode_impl(
         packed, jnp.asarray(row), plen, seed, temperature, top_k, top_p,
         config=config, length=length, cache_len=cache_len, block=block,

@@ -698,11 +698,26 @@ def _spec_generate(model, params, prompt, length, temps, seed, cache_len,
 
 
 def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
-                     engine: str) -> bool:
-    """Opt-in routing for the speculative engine: batch 1 only (the block
-    verify trades MXU rows for positions — at batch > 1 the batched kernel
-    already fills them with sequences), resident-weight models only."""
-    if engine != "spec":
+                     engine: str, temps=None) -> bool:
+    """Routing for the speculative engine: batch 1 only (the block verify
+    trades MXU rows for positions — at batch > 1 the batched kernel already
+    fills them with sequences), resident-weight models only.
+
+    ``engine='spec'`` opts in unconditionally. Under ``'auto'`` the engine
+    takes over exactly the case where it is BOTH distribution-exact vs the
+    sequential megakernel (bit-identical under f32; under bf16, near-tie
+    argmax flips — the class by which all engines already differ) and a
+    measured pure win: single-sequence GREEDY decoding on TPU
+    (trained-model marginal 111k vs 80k events/sec at the default block —
+    BENCHMARKS.md). Sampled auto stays sequential: n-gram acceptance at
+    temperature ~1 is draft-bound (~1.2 tokens/block), which measures at
+    or below the sequential rate."""
+    if engine == "auto":
+        if jax.default_backend() != "tpu":
+            return False
+        if temps is None or not bool(np.all(np.asarray(temps) <= 0)):
+            return False
+    elif engine != "spec":
         return False
     if model_type != ModelType.TRANSFORMER or batch != 1:
         return False
@@ -774,7 +789,9 @@ def generate_ids(
 
     ``engine``: 'auto' (fused kernels on TPU — the resident megakernels
     when the packed weights fit VMEM, the streaming wide kernel when they
-    don't — XLA scan otherwise), 'megakernel', 'wide', 'xla', or 'spec'
+    don't, speculative block decode for single-sequence GREEDY requests
+    where it is bit-identical and measured ~1.4x the sequential kernel —
+    XLA scan otherwise), 'megakernel', 'wide', 'xla', or 'spec'
     (batch-1 speculative block decode: n-gram-drafted tokens verified in
     parallel — greedy output bit-identical to the megakernel, sampled
     output distributed identically; falls back to the other engines for
@@ -818,7 +835,9 @@ def generate_ids(
     if model_type == ModelType.TRANSFORMER:
         if cache_len is None:
             cache_len = prompt.shape[1] + length
-        if _use_spec_kernel(model, model_type, prompt.shape[0], cache_len, engine):
+        if _use_spec_kernel(
+            model, model_type, prompt.shape[0], cache_len, engine, temps
+        ):
             if prompt_lengths is not None:
                 prompt = prompt[:, : int(plens[0])]
             generated = _spec_generate(

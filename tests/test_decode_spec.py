@@ -92,8 +92,15 @@ def test_spec_prefill_blocks_scale_with_prompt():
     # prompt + 7 tokens must take far fewer blocks than 40 sequential steps.
     config, model, params = _setup()
     prompt = (np.arange(33, dtype=np.int32) * 7) % 96
-    tokens, stats = _spec_greedy(config, model, params, prompt, 7)
-    assert stats[0] <= 12, stats  # ~39/8 + warmup, not ~39
+    length = 7
+    tokens, stats = _spec_greedy(config, model, params, prompt, length)
+    # Prompt positions are forced matches, so the prompt phase takes
+    # ~ceil((plen-1)/T) blocks (+1 for the block straddling the prompt
+    # boundary, whose drafted tail may reject); generation is >= 1
+    # token/block.
+    T = dks.default_block(greedy=True)
+    bound = -(-(prompt.shape[0] - 1) // T) + length + 1
+    assert stats[0] <= bound, (stats, T)  # not ~39 sequential steps
 
 
 def test_spec_filters_greedy_noop():
@@ -153,3 +160,33 @@ def test_spec_rejects_overflowing_prompt():
             packed, np.zeros(4, np.int32), 0, 0.0,
             config=config, length=8, cache_len=64, block=1, interpret=True,
         )
+
+
+def test_auto_routes_only_batch1_greedy_on_tpu(monkeypatch):
+    """'auto' takes the speculative engine exactly for single-sequence
+    greedy decoding on TPU (bit-identical + measured win); sampled and
+    batched requests stay on the other engines."""
+    from composer_tpu.train import generate as gen
+
+    config, model, params = _setup()
+    greedy = np.asarray([0.0])
+    sampled = np.asarray([0.9])
+
+    monkeypatch.setattr(gen.jax, "default_backend", lambda: "tpu")
+    assert gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 1, 48, "auto", greedy)
+    assert not gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 1, 48, "auto", sampled)
+    assert not gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 2, 48, "auto", np.asarray([0.0, 0.0]))
+    # Explicit opt-in still covers sampled runs.
+    assert gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 1, 48, "spec", sampled)
+    assert not gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 1, 48, "megakernel", greedy)
+
+    monkeypatch.setattr(gen.jax, "default_backend", lambda: "cpu")
+    assert not gen._use_spec_kernel(
+        model, ModelType.TRANSFORMER, 1, 48, "auto", greedy)
+    assert gen._use_spec_kernel(  # explicit opt-in runs interpret off-TPU
+        model, ModelType.TRANSFORMER, 1, 48, "spec", greedy)
