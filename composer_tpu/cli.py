@@ -561,7 +561,7 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
               help="Decode engine. 'auto' picks the fused kernels on TPU — "
                    "including speculative block decoding for greedy "
                    "single-sequence runs, where it is distribution-exact "
-                   "and measured ~1.4x the sequential kernel; 'spec' forces "
+                   "and measured 1.0-1.4x the sequential kernel; 'spec' forces "
                    "speculation for sampled runs too (wins on repetitive "
                    "streams).")
 def generate(model_type, restoredir, output_filepath, prompt, prompt_length,

@@ -707,11 +707,12 @@ def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
     takes over exactly the case where it is BOTH distribution-exact vs the
     sequential megakernel (bit-identical under f32; under bf16, near-tie
     argmax flips — the class by which all engines already differ) and a
-    measured pure win: single-sequence GREEDY decoding on TPU
-    (trained-model marginal 111k vs 80k events/sec at the default block —
-    BENCHMARKS.md). Sampled auto stays sequential: n-gram acceptance at
-    temperature ~1 is draft-bound (~1.2 tokens/block), which measures at
-    or below the sequential rate."""
+    measured win: single-sequence GREEDY decoding on TPU — 1.02-1.39x
+    the sequential marginal across two trained models (74.5k vs 72.8k
+    and 111.3k vs 80.1k events/sec; acceptance-dependent, never measured
+    below sequential — BENCHMARKS.md). Sampled auto stays sequential:
+    n-gram acceptance at temperature ~1 is draft-bound (~1.2
+    tokens/block), which measures at or below the sequential rate."""
     if engine == "auto":
         if jax.default_backend() != "tpu":
             return False
