@@ -678,6 +678,16 @@ class ContinuousGenerationService(_OverloadControlMixin):
                 f"prompt ({prompt.size}) + length ({length}) exceeds the "
                 f"serving capacity ({self.capacity})."
             )
+        if self.interpret and request.temperature > 0:
+            # The segmented kernel samples with the TPU hardware PRNG, which
+            # the CPU interpreter does not implement; without this gate a
+            # sampled request crashes the worker mid-dispatch with an
+            # obscure lowering error instead of a clean 400.
+            raise InvalidParameterError(
+                "Sampled decoding (temperature > 0) in continuous mode "
+                "requires TPU hardware; the CPU interpret fallback is "
+                "greedy-only (set temperature to 0)."
+            )
 
     # ------------------------------------------------------------------ worker
     def _prefix_rows(self, prefix_len: int):

@@ -3,6 +3,7 @@
 import base64
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -495,9 +496,9 @@ def test_continuous_close_rejects_new_submits():
     )
     service.close()
     with pytest.raises(InvalidParameterError, match="closed"):
-        service.submit([1, 2], 4)
+        service.submit([1, 2], 4, temperature=0.0)
     with pytest.raises(InvalidParameterError, match="closed"):
-        service.submit_stream([1, 2], 4)
+        service.submit_stream([1, 2], 4, temperature=0.0)
 
 
 # --------------------------------------------------------------- overload
@@ -622,10 +623,26 @@ def test_continuous_deadline_evicts_mid_generation():
         slots=2, seg_steps=4, cache_len=128,
     )
     try:
-        # Interpret-mode segments take ~seconds each; a 50-token request
-        # with a short deadline cannot finish and must be evicted.
-        with pytest.raises(DeadlineExceededError):
-            service.submit([5, 6], length=50, deadline_ms=500)
+        # Slow every segment deterministically so the deadline reliably
+        # expires MID-GENERATION (after admission, before completion) —
+        # wall-clock alone is not reliable: warm interpret segments run in
+        # tens of ms, and the original default-temperature request raced
+        # the deadline against the sampled branch's lowering error.
+        import composer_tpu.ops.decode_kernel_segmented as seg_mod
+
+        real_decode = seg_mod.decode_segment
+
+        def slow_decode(*args, **kwargs):
+            time.sleep(0.25)
+            return real_decode(*args, **kwargs)
+
+        seg_mod.decode_segment = slow_decode
+        try:
+            with pytest.raises(DeadlineExceededError):
+                service.submit([5, 6], length=50, temperature=0.0,
+                               deadline_ms=500)
+        finally:
+            seg_mod.decode_segment = real_decode
         assert service.overload_stats()["requests_expired"] >= 1
         # The slot is free again: a short request completes normally.
         out = service.submit([5, 6], length=3, temperature=0.0)
@@ -791,5 +808,34 @@ def test_prefix_cache_lru_eviction_respects_budget():
         # Re-submitting the (still cached) newest prompt hits.
         service.submit(prompts[-1], 4, temperature=0.0)
         assert service.overload_stats()["prefix_cache_hits"] == 1
+    finally:
+        service.close()
+
+
+def test_continuous_interpret_rejects_sampled_requests():
+    """Off-TPU the segmented kernel cannot sample (no hardware PRNG in the
+    interpreter): a temperature > 0 submit gets a clean parameter error
+    instead of crashing the worker with a lowering error."""
+    import jax
+
+    from composer_tpu.exceptions import InvalidParameterError
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model = Transformer(TransformerConfig(
+        vocab_size=VOCAB, embed_dim=16, window_size=WINDOW, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        dtype=jax.numpy.float32, param_dtype=jax.numpy.float32,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128,
+    )
+    try:
+        with pytest.raises(InvalidParameterError, match="greedy-only"):
+            service.submit([5, 6], length=4)  # default temperature 1.0
+        # Greedy still serves.
+        out = service.submit([5, 6], length=3, temperature=0.0)
+        assert len(out) == 5
     finally:
         service.close()
