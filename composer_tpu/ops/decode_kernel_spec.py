@@ -77,16 +77,36 @@ from composer_tpu.ops.decode_kernel import (
 # sequential rate). COMPOSER_SPEC_BLOCK forces one size for both regimes.
 SPEC_BLOCK_GREEDY = 6
 SPEC_BLOCK_SAMPLED = 4
-_SPEC_BLOCK_ENV = os.environ.get("COMPOSER_SPEC_BLOCK")
+
+
+def _parse_block_env():
+    """Validate COMPOSER_SPEC_BLOCK once: an integer in [2, 16] or unset."""
+    raw = os.environ.get("COMPOSER_SPEC_BLOCK")
+    if raw is None or raw == "":
+        return None
+    try:
+        value = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"COMPOSER_SPEC_BLOCK must be an integer in [2, 16], got {raw!r}"
+        ) from None
+    if value < 2 or value > 16:
+        raise ValueError(
+            f"COMPOSER_SPEC_BLOCK must be in [2, 16], got {value}"
+        )
+    return value
+
+
+_SPEC_BLOCK_FORCED = _parse_block_env()
 # Back-compat module constant: the forced size when set, else the greedy
 # default (bench/telemetry reporting reads this).
-SPEC_BLOCK = int(_SPEC_BLOCK_ENV) if _SPEC_BLOCK_ENV else SPEC_BLOCK_GREEDY
+SPEC_BLOCK = _SPEC_BLOCK_FORCED if _SPEC_BLOCK_FORCED else SPEC_BLOCK_GREEDY
 
 
 def default_block(greedy: bool) -> int:
     """The measured-best block size for a sampling regime (env-overridable)."""
-    if _SPEC_BLOCK_ENV:
-        return int(_SPEC_BLOCK_ENV)
+    if _SPEC_BLOCK_FORCED:
+        return _SPEC_BLOCK_FORCED
     return SPEC_BLOCK_GREEDY if greedy else SPEC_BLOCK_SAMPLED
 
 # KV slab window the block append addresses: T consecutive positions span at
@@ -157,11 +177,15 @@ def _spec_decode_kernel(
     kv_rows = jax.lax.broadcasted_iota(jnp.int32, (_KV_WINDOW, embed_dim), 0)
     out_rows8 = jax.lax.broadcasted_iota(jnp.int32, (length, T), 0)
     out_cols8 = jax.lax.broadcasted_iota(jnp.int32, (length, T), 1)
-    # Lower-triangular ones: cumulative violation counts for the acceptance
-    # prefix (one tiny MXU op instead of a sublane scan).
+    # STRICTLY lower-triangular ones: cumulative violation counts for the
+    # acceptance prefix (one tiny MXU op instead of a sublane scan). The
+    # strict inequality matters: row t must count only violations BEFORE
+    # lane t, so a fully matched block emits all T samples (an inclusive
+    # triangle would make ok[t] require lane t's own match and cap every
+    # block at T-1 emissions).
     tri_rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     tri_cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    tri = (tri_cols <= tri_rows).astype(jnp.float32)  # (T, T)
+    tri = (tri_cols < tri_rows).astype(jnp.float32)  # (T, T)
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
@@ -403,10 +427,10 @@ def _spec_decode_kernel(
             tri, viol_col,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (T, 1): violations among lanes <= t
+        )  # (T, 1): violations among lanes strictly before t
         ok_col = (cum_viol < 0.5).astype(jnp.float32)
         # n_emit = 1 + leading matches (row t's sample is emitted iff all
-        # matches before it held; row 0 always is).
+        # matches before it held; row 0 always is, so n_emit spans [1, T]).
         n_emit_vec = jnp.sum(ok_col).astype(jnp.int32)
         n_emit_vec = jnp.minimum(jnp.maximum(n_emit_vec, 1), T)
 
@@ -561,7 +585,10 @@ def _spec_decode_impl(
         interpret=interpret,
     )(*scalars, *tensor_inputs)
 
-    return tokens[:, 0], stats
+    # ONE output array: fetching tokens and stats separately costs two
+    # host round-trips (~25 ms each on the remote tunnel) per generate
+    # call; the caller splits the concatenated vector after one fetch.
+    return jnp.concatenate([tokens[:, 0], stats])
 
 
 def speculative_generate(
@@ -600,8 +627,11 @@ def speculative_generate(
     C = _round_up(cache_len + block, 128)
     row = np.zeros((1, C), np.int32)
     row[0, :plen] = prompt
-    return _spec_decode_impl(
+    packed_out = _spec_decode_impl(
         packed, jnp.asarray(row), plen, seed, temperature, top_k, top_p,
         config=config, length=length, cache_len=cache_len, block=block,
         interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
     )
+    # One device array, one host fetch: tokens then the 8-int stats vector.
+    host = np.asarray(packed_out)
+    return host[:length], host[length:]

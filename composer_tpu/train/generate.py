@@ -662,6 +662,10 @@ _WIDE_ENGINE_CACHE = {}
 # generation_blocks, final_position, 0...] — benches and tests read the
 # realized acceptance (length / generation_blocks) from here.
 LAST_SPEC_STATS = None
+# Monotonic count of speculative dispatches: serving telemetry compares it
+# around a generate_ids call to learn whether the spec engine served the
+# request (and then reads LAST_SPEC_STATS for the realized acceptance).
+SPEC_DISPATCHES = 0
 
 
 def _packed_engine(model, params):
@@ -681,10 +685,22 @@ def _spec_generate(model, params, prompt, length, temps, seed, cache_len,
     from composer_tpu.ops.decode_kernel import sampling_flags
     from composer_tpu.ops.decode_kernel_spec import speculative_generate
 
-    global LAST_SPEC_STATS
+    global LAST_SPEC_STATS, SPEC_DISPATCHES
     engine = _packed_engine(model, params)
     row = np.asarray(prompt, np.int32).reshape(-1)
     greedy, use_kk, use_pp = sampling_flags(temps, top_k, top_p)
+    if not greedy and jax.default_backend() != "tpu":
+        # Mirrors the continuous-serving gate: the block sampler draws from
+        # the TPU hardware PRNG, which the CPU interpreter does not
+        # implement — without this check a sampled engine='spec' request
+        # off-TPU dies in an obscure Mosaic lowering error.
+        from composer_tpu.exceptions import InvalidParameterError
+
+        raise InvalidParameterError(
+            "Sampled decoding (temperature > 0) with engine='spec' requires "
+            "TPU hardware; the CPU interpret fallback is greedy-only (set "
+            "temperature to 0 or use engine='xla')."
+        )
     tokens, stats = speculative_generate(
         engine.packed, row, seed, temps,
         config=model.config, length=length,
@@ -694,6 +710,7 @@ def _spec_generate(model, params, prompt, length, temps, seed, cache_len,
         greedy=greedy, use_k=use_kk, use_p=use_pp,
     )
     LAST_SPEC_STATS = np.asarray(stats)
+    SPEC_DISPATCHES += 1
     return np.asarray(tokens)[None, :]
 
 

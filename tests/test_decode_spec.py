@@ -76,6 +76,27 @@ def test_spec_accepts_on_repetitive_stream():
     assert stats[1] < length / 2, stats
 
 
+def test_spec_full_acceptance_emits_whole_blocks():
+    # On a perfectly predictable (constant) stream the steady-state marginal
+    # must be exactly T tokens per generation block: differencing two
+    # lengths cancels the warm-up blocks (short history, prompt boundary).
+    # Regression for the inclusive-triangle off-by-one that capped every
+    # block at T-1 emissions (ADVICE r4).
+    config, model, params = _setup(stddev=1e-3, seed=1)
+    prompt = np.array([3, 3, 3], np.int32)
+    T = 6
+    stats_by_length = {}
+    for length in (12, 36):
+        _, stats = _spec_greedy(
+            config, model, params, prompt, length, block=T
+        )
+        stats_by_length[length] = stats
+    gen_blocks_delta = int(
+        stats_by_length[36][1] - stats_by_length[12][1]
+    )
+    assert gen_blocks_delta == (36 - 12) // T, stats_by_length
+
+
 def test_spec_prompt_edge_cases():
     config, model, params = _setup()
     for prompt, length in (
@@ -159,6 +180,37 @@ def test_spec_rejects_overflowing_prompt():
         dks.speculative_generate(
             packed, np.zeros(4, np.int32), 0, 0.0,
             config=config, length=8, cache_len=64, block=1, interpret=True,
+        )
+
+
+def test_spec_block_env_validated(monkeypatch):
+    # COMPOSER_SPEC_BLOCK is validated once, with the variable named in the
+    # error: non-integers and out-of-range values fail clearly instead of
+    # crashing at import or silently bypassing the [2, 16] check.
+    for bad in ("banana", "0", "32", "-3"):
+        monkeypatch.setenv("COMPOSER_SPEC_BLOCK", bad)
+        with pytest.raises(ValueError, match="COMPOSER_SPEC_BLOCK"):
+            dks._parse_block_env()
+    monkeypatch.setenv("COMPOSER_SPEC_BLOCK", "8")
+    assert dks._parse_block_env() == 8
+    monkeypatch.delenv("COMPOSER_SPEC_BLOCK")
+    assert dks._parse_block_env() is None
+
+
+def test_sampled_spec_engine_off_tpu_raises_cleanly():
+    # engine='spec' with temperature > 0 off-TPU would hit the interpreter's
+    # missing hardware PRNG with an obscure lowering error; the router must
+    # raise a clean InvalidParameterError instead (mirrors the serving gate).
+    from composer_tpu.exceptions import InvalidParameterError
+
+    config, model, params = _setup()
+    prompt = np.array([5, 60, 30, 17], np.int32)
+    if jax.default_backend() == "tpu":
+        pytest.skip("gate only applies off-TPU")
+    with pytest.raises(InvalidParameterError, match="TPU hardware"):
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompt[None],
+            length=8, temperature=0.9, seed=0, engine="spec",
         )
 
 
