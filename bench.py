@@ -50,12 +50,17 @@ def main():
     }
     try:
         batch1 = run_decode_benchmark(length=1024, batch_size=1)
+        # The chip-side marginal leads: the wall number in this environment
+        # is tunnel-RTT-bound (~25 ms/dispatch) and, even with the bench's
+        # cold-tunnel retry, session-dependent in a way the on-device rate
+        # is not (VERDICT r4 item 3).
         line["detail"]["batch1"] = {
-            "events_per_sec_wall": batch1["value"],
-            "on_device_events_per_sec_marginal": batch1["detail"][
+            "events_per_sec_chip": batch1["detail"][
                 "on_device_events_per_sec_marginal"
             ],
+            "events_per_sec_wall": batch1["value"],
             "seconds": batch1["detail"]["seconds"],
+            "on_device_seconds": batch1["detail"].get("on_device_seconds"),
         }
     except Exception as error:  # headline must still print
         line["detail"]["batch1"] = {"error": str(error)[:200]}

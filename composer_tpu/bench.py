@@ -219,7 +219,6 @@ def run_decode_benchmark(
         return min(times)
 
     best = timed(length)
-    events_per_sec = batch_size * length / best
 
     # On-device marginal rate via the device profiler: device-plane module
     # time is measured at two lengths and differenced, so fixed per-call
@@ -227,21 +226,38 @@ def run_decode_benchmark(
     # decode scan's per-event cost remains. Wall-clock in this environment
     # includes a ~24 ms per-dispatch remote-tunnel latency that jitters by
     # ~10 ms between runs, so wall-derived estimates proved unstable; the
-    # profiler number is the chip's actual throughput. Reported for the
+    # profiler number is the chip's actual throughput. The full-call device
+    # time is measured for every batch size (it also anchors the wall
+    # outlier check below); the differenced marginal is reported for the
     # batch-1 latency workload.
     marginal = None
-    if batch_size == 1:
+    cache = prompt_length + length
+    device_seconds = _device_seconds_per_call(make_call(length, cache))
+    if batch_size == 1 and device_seconds:
         # Both lengths run against the SAME cache size so per-step cost is
         # identical and the difference isolates the extra decode steps.
         short = max(length // 2, 1)
-        cache = prompt_length + length
-        long_seconds = _device_seconds_per_call(make_call(length, cache))
         short_seconds = _device_seconds_per_call(make_call(short, cache))
-        if long_seconds and short_seconds and long_seconds > short_seconds:
+        if short_seconds and device_seconds > short_seconds:
             marginal = round(
-                batch_size * (length - short) / (long_seconds - short_seconds),
+                batch_size * (length - short)
+                / (device_seconds - short_seconds),
                 1,
             )
+
+    # Cold-tunnel outlier rejection (VERDICT r4 item 3): a session whose
+    # first dispatches ride an unwarmed tunnel can record a wall min 2-3x
+    # the true value even under min-of-repeats (BENCH_r04 captured 120 ms
+    # for a call that re-measures at 38 ms). The device trace gives the
+    # honest lower bound: when the wall min exceeds device time + a
+    # generous nominal dispatch latency by 1.75x, the whole first timing
+    # loop was an outlier — re-run it once (the tunnel is warm by now,
+    # after the profiler passes) and keep the faster measurement.
+    nominal_dispatch_s = 0.040
+    if device_seconds and best > 1.75 * (device_seconds + nominal_dispatch_s):
+        best = min(best, timed(length))
+
+    events_per_sec = batch_size * length / best
 
     return {
         "metric": "decode_events_per_sec",
@@ -257,6 +273,9 @@ def run_decode_benchmark(
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
             "seconds": round(best, 4),
+            "on_device_seconds": (
+                round(device_seconds, 4) if device_seconds else None
+            ),
             "on_device_events_per_sec_marginal": marginal,
         },
     }
