@@ -117,6 +117,14 @@ class _OverloadControlMixin:
         self.requests_expired = 0
         self.requests_cancelled = 0
         self._latencies = deque(maxlen=512)  # seconds, completed requests
+        # Speculative-engine observability (VERDICT r4 item 8): the
+        # greedy-only 'auto' routing's "never below sequential" claim rests
+        # on measured acceptance, so production must see the realized rates,
+        # not assume them. Populated by GenerationService when generate_ids
+        # takes the speculative kernel; the continuous engine never does
+        # (segmented kernel) and reports zeros.
+        self.spec_requests = 0
+        self._spec_acceptances = deque(maxlen=256)  # tokens per verify block
 
     def _enqueue(self, request: _Request) -> None:
         """Admission: atomic wrt close() AND the queue-depth bound."""
@@ -204,6 +212,7 @@ class _OverloadControlMixin:
                 return None
             return latencies[min(int(q * len(latencies)), len(latencies) - 1)]
 
+        acceptances = list(self._spec_acceptances)
         return {
             "queue_depth": int(self._pending),
             "max_queue_depth": self.max_queue_depth,
@@ -212,6 +221,14 @@ class _OverloadControlMixin:
             "requests_cancelled": int(self.requests_cancelled),
             "latency_p50_s": pct(0.50),
             "latency_p95_s": pct(0.95),
+            "spec_requests": int(self.spec_requests),
+            "spec_acceptance_last": (
+                round(acceptances[-1], 3) if acceptances else None
+            ),
+            "spec_acceptance_mean": (
+                round(sum(acceptances) / len(acceptances), 3)
+                if acceptances else None
+            ),
         }
 
     def _drain_queue(self) -> None:
@@ -424,12 +441,26 @@ class GenerationService(_OverloadControlMixin):
                 [r.top_p for r in batch] + [batch[-1].top_p] * pad, np.float32
             )
             bucket_len = self._signature(batch[0])[1]
+            from composer_tpu.train import generate as _gen
+
+            spec_before = _gen.SPEC_DISPATCHES
             ids = generate_ids(
                 self.model, self.model_type, self.variables, prompts,
                 length=bucket_len, temperature=temps,
                 seed=self._next_seed(), top_k=topks, top_p=topps,
                 prompt_lengths=plens,
             )
+            if (
+                _gen.SPEC_DISPATCHES > spec_before
+                and _gen.LAST_SPEC_STATS is not None
+            ):
+                # The request was served by the speculative engine: record
+                # its realized acceptance for /v1/health (worker thread only
+                # — no lock needed beyond the deque's own atomicity).
+                self.spec_requests += 1
+                self._spec_acceptances.append(
+                    bucket_len / max(int(_gen.LAST_SPEC_STATS[1]), 1)
+                )
             self.batch_sizes.append(rows)
             return batch, ids, width
         except Exception as error:  # surface to every waiter, keep serving
@@ -487,10 +518,15 @@ class ContinuousGenerationService(_OverloadControlMixin):
                  interpret: Optional[bool] = None, dtype=None,
                  kv_vmem_mb: float = 64.0,
                  max_queue_depth: int = 0, default_deadline_ms: float = 0.0,
-                 prefill_min: int = 128, prefix_cache_mb: float = 32.0):
+                 prefill_min: int = 128, prefix_cache_mb: float = 32.0,
+                 engine: str = "auto"):
         if model_type != ModelType.TRANSFORMER:
             raise InvalidParameterError(
                 "Continuous batching requires a transformer model."
+            )
+        if engine not in ("auto", "resident", "wide"):
+            raise InvalidParameterError(
+                f"Continuous engine must be auto/resident/wide, got {engine!r}."
             )
         import jax
         import jax.numpy as jnp
@@ -500,7 +536,10 @@ class ContinuousGenerationService(_OverloadControlMixin):
             PARKED,
             init_segment_state,
         )
-        from composer_tpu.train.generate import _padded_cache_len
+        from composer_tpu.train.generate import (
+            _packed_weight_bytes,
+            _padded_cache_len,
+        )
 
         self.model = model
         self.model_type = model_type
@@ -536,42 +575,99 @@ class ContinuousGenerationService(_OverloadControlMixin):
             # Off-TPU the Mosaic kernel cannot compile; interpret mode keeps
             # the scheduler exercisable (tests) at Python-loop speed.
             interpret = jax.default_backend() != "tpu"
-        self.packed = pack_weights(variables, model.config, dtype=dtype)
         self.slots = int(slots)
-        self.max_batch_size = self.slots  # the /v1/health contract
         self.seg_steps = int(seg_steps)
         self.cache_len = _padded_cache_len(cache_len)
         self.width = min(model.config.window_size, self.cache_len)
         self.interpret = interpret
         self._seed = seed
         self._parked = PARKED
-
-        # Attention contracts a staged `live` cache prefix that grows in
-        # buckets with the oldest row (fresh compile per bucket, then
-        # cached). Both caches' live prefixes sit in VMEM during a segment,
-        # so slots x live is bounded by a VMEM budget; the leftover capacity
-        # is what a single request's prompt + length may span.
         self.live_bucket = 256
-        kv_bytes_per_row = (
-            2 * model.config.num_layers * self.slots
-            * max(model.config.embed_dim, 128)  # caches pad to the lane tile
-            * jnp.dtype(dtype).itemsize
-        )
-        budget = int(kv_vmem_mb * 1024 * 1024)
-        live_max = max(budget // kv_bytes_per_row, 0)
-        self.capacity = min(
-            self.cache_len, (live_max // self.live_bucket) * self.live_bucket
-        )
-        if self.capacity < min(self.width, 2 * self.live_bucket):
-            raise InvalidParameterError(
-                f"{self.slots} decode slots x {model.config.num_layers} "
-                f"layers x embed {model.config.embed_dim} exceeds the "
-                f"{kv_vmem_mb} MiB KV VMEM budget — use fewer slots."
+
+        # Engine selection (VERDICT r4 item 1): models whose packed weights
+        # fit VMEM use the resident segmented kernel; weights-over-VMEM
+        # models (e.g. the embed-1024 flagship, ~200 MB bf16) previously
+        # could not serve under --continuous AT ALL and now stream through
+        # ops/decode_kernel_wide_segmented.py.
+        if engine == "auto":
+            resident_fits = (
+                _packed_weight_bytes(model.config) < 60 * 1024 * 1024
+            )
+            engine = "resident" if resident_fits else "wide"
+        self.wide = engine == "wide"
+
+        if self.wide:
+            from composer_tpu.ops.decode_kernel_wide_segmented import (
+                init_wide_segment_state,
+                pack_weights_wide,
+                wide_segment_vmem_bytes,
             )
 
-        self._state = init_segment_state(
-            self.packed, model.config, self.slots, self.cache_len
-        )
+            import os as _os
+
+            wdtype = dtype
+            if _os.environ.get("COMPOSER_WIDE_INT8", "0") == "1":
+                wdtype = jnp.int8
+            self.packed = pack_weights_wide(
+                variables, model.config, dtype=wdtype
+            )
+            # The HBM KV cache is cheap; VMEM bounds (slots, live) through
+            # the streamed kernel's scratch: weight double buffers + per-row
+            # tail windows + the chunk buffer + the shared rel block.
+            budget = 108 * 1024 * 1024
+            capacity = 0
+            live = self.live_bucket
+            while live <= self.cache_len and wide_segment_vmem_bytes(
+                model.config, self.slots, live
+            ) <= budget:
+                capacity = live
+                live += self.live_bucket
+            self.capacity = min(capacity, self.cache_len)
+            if self.capacity < min(self.width, 2 * self.live_bucket):
+                raise InvalidParameterError(
+                    f"{self.slots} wide decode slots x embed "
+                    f"{model.config.embed_dim} exceeds the streaming "
+                    "kernel's VMEM budget — use fewer slots."
+                )
+            # Admission prefill and the prefix cache write the RESIDENT
+            # slab cache layout; the streamed engine admits with
+            # teacher-forced prompt steps instead (documented gap).
+            self.prefill_min = 0
+            self.prefix_cache_bytes = 0
+            self._state = init_wide_segment_state(
+                self.packed, model.config, self.slots, self.cache_len
+            )
+        else:
+            self.packed = pack_weights(variables, model.config, dtype=dtype)
+
+            # Attention contracts a staged `live` cache prefix that grows in
+            # buckets with the oldest row (fresh compile per bucket, then
+            # cached). Both caches' live prefixes sit in VMEM during a
+            # segment, so slots x live is bounded by a VMEM budget; the
+            # leftover capacity is what a single request's prompt + length
+            # may span.
+            kv_bytes_per_row = (
+                2 * model.config.num_layers * self.slots
+                * max(model.config.embed_dim, 128)  # caches pad to the tile
+                * jnp.dtype(dtype).itemsize
+            )
+            budget = int(kv_vmem_mb * 1024 * 1024)
+            live_max = max(budget // kv_bytes_per_row, 0)
+            self.capacity = min(
+                self.cache_len,
+                (live_max // self.live_bucket) * self.live_bucket,
+            )
+            if self.capacity < min(self.width, 2 * self.live_bucket):
+                raise InvalidParameterError(
+                    f"{self.slots} decode slots x {model.config.num_layers} "
+                    f"layers x embed {model.config.embed_dim} exceeds the "
+                    f"{kv_vmem_mb} MiB KV VMEM budget — use fewer slots."
+                )
+
+            self._state = init_segment_state(
+                self.packed, model.config, self.slots, self.cache_len
+            )
+        self.max_batch_size = self.slots  # the /v1/health contract
         self._prompts = np.zeros((self.slots, self.width), np.int32)
         self._plens = np.ones(self.slots, np.int32)
         self._starts = np.full(self.slots, PARKED, np.int32)
@@ -748,7 +844,7 @@ class ContinuousGenerationService(_OverloadControlMixin):
         prefilled before, else with one XLA forward — and returns the number
         of prefilled positions (0 = below threshold / disabled)."""
         plen = prompt_ids.shape[0]
-        if self.prefill_min <= 0 or plen - 1 < self.prefill_min:
+        if self.wide or self.prefill_min <= 0 or plen - 1 < self.prefill_min:
             return 0
         rows = self._prefix_rows(plen - 1)
 
@@ -824,18 +920,36 @@ class ContinuousGenerationService(_OverloadControlMixin):
             self.capacity,
             -(-max(live_needed, 1) // self.live_bucket) * self.live_bucket,
         )
-        kbuf, vbuf, carry = self._state
-        tokens, kbuf, vbuf, carry = decode_segment(
-            self.packed, kbuf, vbuf, carry,
-            self._prompts, self._plens.copy(), self._starts.copy(),
-            self._step, self._seed, self._temps.copy(), self._topks.copy(),
-            self._topps.copy(),
-            config=self.config, steps=self.seg_steps,
-            cache_len=self.cache_len, live=live,
-            interpret=self.interpret, greedy=greedy,
-            use_k=use_k, use_p=use_p,
-        )
-        self._state = (kbuf, vbuf, carry)
+        if self.wide:
+            from composer_tpu.ops.decode_kernel_wide_segmented import (
+                decode_segment_wide,
+            )
+
+            kv, carry = self._state
+            tokens, kv, carry = decode_segment_wide(
+                self.packed, kv, carry,
+                self._prompts, self._plens.copy(), self._starts.copy(),
+                self._step, self._seed, self._temps.copy(),
+                self._topks.copy(), self._topps.copy(),
+                config=self.config, steps=self.seg_steps,
+                cache_len=self.cache_len, live=live,
+                interpret=self.interpret, greedy=greedy,
+                use_k=use_k, use_p=use_p,
+            )
+            self._state = (kv, carry)
+        else:
+            kbuf, vbuf, carry = self._state
+            tokens, kbuf, vbuf, carry = decode_segment(
+                self.packed, kbuf, vbuf, carry,
+                self._prompts, self._plens.copy(), self._starts.copy(),
+                self._step, self._seed, self._temps.copy(), self._topks.copy(),
+                self._topps.copy(),
+                config=self.config, steps=self.seg_steps,
+                cache_len=self.cache_len, live=live,
+                interpret=self.interpret, greedy=greedy,
+                use_k=use_k, use_p=use_p,
+            )
+            self._state = (kbuf, vbuf, carry)
         snapshot = (self._step, self._starts.copy(), self._plens.copy(),
                     list(self._requests), tokens)
         self.batch_sizes.append(int(active.sum()))

@@ -839,3 +839,127 @@ def test_continuous_interpret_rejects_sampled_requests():
         assert len(out) == 5
     finally:
         service.close()
+
+
+def test_health_reports_spec_acceptance(monkeypatch):
+    """When generate_ids serves a request through the speculative engine,
+    /v1/health must expose the realized acceptance (VERDICT r4 item 8): the
+    greedy-only auto routing's "never below sequential" claim is monitored
+    in production, not assumed. Off-TPU the auto router skips the engine, so
+    the routing predicate is forced here and the REAL interpret-mode kernel
+    runs under the service."""
+    from composer_tpu.train import generate as gen
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(
+        gen, "_use_spec_kernel",
+        lambda m, mt, batch, cache_len, engine, temps=None: (
+            batch == 1 and temps is not None
+            and bool(np.all(np.asarray(temps) <= 0))
+        ),
+    )
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=4, max_wait_ms=5.0,
+    )
+    try:
+        baseline = service.overload_stats()
+        assert baseline["spec_requests"] == 0
+        assert baseline["spec_acceptance_last"] is None
+
+        out = service.submit([5, 8, 11], length=4, temperature=0.0)
+        assert len(out) == 7
+
+        stats = service.overload_stats()
+        assert stats["spec_requests"] == 1
+        assert stats["spec_acceptance_last"] >= 1.0
+        assert stats["spec_acceptance_mean"] >= 1.0
+
+        # A sampled request stays off the spec engine and must not move
+        # the gauges.
+        service.submit([5, 8, 11], length=4, temperature=0.9)
+        assert service.overload_stats()["spec_requests"] == 1
+    finally:
+        service.close()
+
+
+def test_continuous_wide_engine_serves_and_matches_resident():
+    """engine='wide' routes the continuous scheduler onto the streaming
+    weights-over-VMEM kernel (VERDICT r4 item 1). Greedy outputs are
+    bit-identical to the resident segmented engine, and the scheduler
+    surface (submit, streaming, health) is unchanged."""
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model, params = _tiny_model()
+    prompts = [[5, 8, 11], [250, 3], [7, 7, 7, 7]]
+    results = {}
+    for engine in ("resident", "wide"):
+        service = ContinuousGenerationService(
+            model, ModelType.TRANSFORMER, params, VOCAB,
+            slots=2, seg_steps=4, cache_len=128, engine=engine,
+        )
+        try:
+            assert service.wide == (engine == "wide")
+            outs = [None] * len(prompts)
+            threads = [
+                threading.Thread(
+                    target=lambda i=i, p=p: outs.__setitem__(
+                        i, service.submit(p, length=6, temperature=0.0)
+                    )
+                )
+                for i, p in enumerate(prompts)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+                assert not t.is_alive()
+            results[engine] = outs
+        finally:
+            service.close()
+    for got, want in zip(results["wide"], results["resident"]):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_continuous_wide_engine_streams_and_reports_health():
+    from composer_tpu.serving import ContinuousGenerationService
+
+    model, params = _tiny_model()
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128, engine="wide",
+    )
+    try:
+        chunks = list(service.submit_stream([5, 8], length=5, temperature=0.0))
+        flat = [t for chunk in chunks for t in chunk]
+        assert flat[:2] == [5, 8] and len(flat) == 7
+        # Prefill/prefix-cache are resident-layout features: disabled in
+        # wide mode, and the health gauges say so.
+        stats = service.overload_stats()
+        assert stats["prefix_cache_entries"] == 0
+        assert service.prefill_min == 0
+    finally:
+        service.close()
+
+
+def test_continuous_auto_picks_resident_for_small_models():
+    from composer_tpu.serving import ContinuousGenerationService
+    from composer_tpu.train.generate import _packed_weight_bytes
+
+    model, params = _tiny_model()
+    service = ContinuousGenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        slots=2, seg_steps=4, cache_len=128, engine="auto",
+    )
+    try:
+        assert not service.wide
+    finally:
+        service.close()
+    # The flagship scaled arch (embed 1024) crosses the resident gate and
+    # auto-routes to the streaming kernel (checked at the config level —
+    # materializing the ~200 MB model here would be all cost, no signal).
+    big = TransformerConfig(
+        vocab_size=VOCAB, embed_dim=1024, window_size=2048, num_layers=8,
+        num_heads=16,
+    )
+    assert _packed_weight_bytes(big) >= 60 * 1024 * 1024
