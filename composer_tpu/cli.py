@@ -657,9 +657,16 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
                    "prompt-prefix KV cache (repeated prompts admit with one "
                    "scatter instead of a prefix forward). 0 disables. "
                    "Defaults to 32 MiB.")
+@click.option("--continuous-engine", default="auto",
+              type=click.Choice(["auto", "resident", "wide"]),
+              help="Continuous mode kernel: 'resident' keeps packed weights "
+                   "in VMEM; 'wide' streams them from HBM "
+                   "(weights-over-VMEM models, e.g. embed 1024). 'auto' "
+                   "(default) picks by model size.")
 def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
           default_length, continuous, seg_steps, serve_cache_len,
-          max_queue_depth, default_deadline_ms, prefix_cache_mb):
+          max_queue_depth, default_deadline_ms, prefix_cache_mb,
+          continuous_engine):
     """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
 
     Restores the model once, keeps it resident on the device, and coalesces
@@ -695,6 +702,7 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
             max_queue_depth=max_queue_depth,
             default_deadline_ms=default_deadline_ms,
             prefix_cache_mb=prefix_cache_mb,
+            engine=continuous_engine,
         )
     else:
         service = GenerationService(
