@@ -281,6 +281,35 @@ def run_decode_benchmark(
     }
 
 
+def run_wide_int8_decode_benchmark(batch_size: int = 8, length: int = 1014,
+                                   embed_dim: int = 1024):
+    """int8 streaming wide decode (COMPOSER_WIDE_INT8 packing).
+
+    Same workload as the bf16 wide row; the detail carries the analytic
+    per-step HBM weight-stream sizes so the table shows what the int8
+    packing buys (the stream is the wide kernel's dominant cost).
+    """
+    import os
+
+    os.environ["COMPOSER_WIDE_INT8"] = "1"
+    try:
+        result = run_decode_benchmark(
+            batch_size=batch_size, length=length, embed_dim=embed_dim,
+            engine="wide", repeats=2,
+        )
+    finally:
+        os.environ.pop("COMPOSER_WIDE_INT8", None)
+    weight_elems = 12 * embed_dim * embed_dim * 8  # matmul blocks, 8 layers
+    result["detail"]["int8"] = True
+    result["detail"]["weight_stream_mb_per_step"] = round(
+        weight_elems / 1e6, 1
+    )
+    result["detail"]["weight_stream_mb_per_step_bf16"] = round(
+        2 * weight_elems / 1e6, 1
+    )
+    return result
+
+
 def run_batched_decode_benchmark(
     batch_size: int = 64,
     length: int = 2048,
@@ -1296,6 +1325,38 @@ def run_all(write_markdown=True):
                 batch_size=8, length=1014, embed_dim=1024, engine="wide",
                 repeats=2,
             ) if on_tpu else {"error": "wide kernel bench skipped off-TPU"},
+        ),
+        (
+            # int8 wide decode (VERDICT r4 item 6): per-output-channel
+            # symmetric weights halve the dominant per-step HBM stream
+            # (bf16 ~201 MB of matmul weights per step at embed 1024 vs
+            # ~101 MB int8); the row publishes the realized throughput
+            # next to the bf16 row above. Numerics are pinned separately
+            # (tests/test_decode_wide.py: quantizer round-trip bound +
+            # matmul-epilogue error bound).
+            "wide-model decode (embed 1024, batch 8, streaming kernel, int8)",
+            lambda: run_wide_int8_decode_benchmark()
+            if on_tpu else {"error": "int8 wide bench skipped off-TPU"},
+        ),
+        (
+            # Continuous batching for the weights-over-VMEM class (r5): the
+            # embed-1024 flagship under Poisson arrivals through the
+            # segmented streaming kernel — the serving mode it could not
+            # use at all before (vs run-to-completion wide coalescing).
+            "serving under Poisson arrivals (embed 1024, wide continuous)",
+            lambda: run_poisson_serving_benchmark(
+                continuous=True, requests=16, mean_interarrival_ms=150.0,
+                length=192, slots=4, cache_len=1024, embed_dim=1024,
+                temperature=0.0,
+            ) if on_tpu else {"error": "wide continuous bench skipped off-TPU"},
+        ),
+        (
+            "serving under Poisson arrivals (embed 1024, run-to-completion)",
+            lambda: run_poisson_serving_benchmark(
+                continuous=False, requests=16, mean_interarrival_ms=150.0,
+                length=192, slots=4, cache_len=1024, embed_dim=1024,
+                temperature=0.0,
+            ) if on_tpu else {"error": "wide rtc bench skipped off-TPU"},
         ),
         (
             "long-prompt serving TTFT (prompt 512, continuous, NO prefill)",

@@ -236,3 +236,52 @@ def test_wide_batch_cap_covers_flagship():
         attention_dropout_rate=0.0, residual_dropout_rate=0.0,
     )
     assert gen._wide_batch_cap(giant, 1152) == 0
+
+
+def test_int8_quantizer_per_channel_roundtrip_bound():
+    """The per-output-channel symmetric quantizer's exact contract
+    (VERDICT r4 item 6 — replaces agreement-only evidence): scales are
+    max|w|/127 per channel, and every dequantized element sits within
+    half a quantization step of the original."""
+    from composer_tpu.ops.decode_kernel_wide import pack_weights_wide
+
+    model, params = _model(True)
+    exact = pack_weights_wide(params, model.config, dtype=jnp.float32)
+    quant = pack_weights_wide(params, model.config, dtype=jnp.int8)
+    for wkey, skey in (("big_w", "wscale"), ("fp_w", "fpscale")):
+        w = np.asarray(exact[wkey], np.float32)       # (L, K, N)
+        q = np.asarray(quant[wkey], np.float32)       # int8 values
+        s = np.asarray(quant[skey], np.float32)       # (L, 1, N)
+        assert np.abs(q).max() <= 127
+        expected_scale = np.maximum(np.abs(w).max(axis=1, keepdims=True) / 127.0, 1e-12)
+        np.testing.assert_allclose(s, expected_scale, rtol=1e-6)
+        err = np.abs(q * s - w)
+        # elementwise: |w - q*s| <= s/2 per channel (round-to-nearest).
+        assert (err <= 0.5001 * s + 1e-9).all(), err.max() / s.max()
+
+
+def test_int8_matmul_epilogue_error_bound():
+    """The kernel's exact int8 math — ``(x @ Wq) * s`` — against the f32
+    matmul, bounded analytically: per output column,
+    |err| <= sum_k |x_k| * s_col / 2 (each weight is off by at most s/2).
+    Also pins the realized relative error well below the worst case."""
+    from composer_tpu.ops.decode_kernel_wide import pack_weights_wide
+
+    model, params = _model(False)
+    exact = pack_weights_wide(params, model.config, dtype=jnp.float32)
+    quant = pack_weights_wide(params, model.config, dtype=jnp.int8)
+    rng = np.random.default_rng(9)
+    for wkey, skey in (("big_w", "wscale"), ("fp_w", "fpscale")):
+        w = np.asarray(exact[wkey], np.float32)
+        q = np.asarray(quant[wkey], np.float32)
+        s = np.asarray(quant[skey], np.float32)
+        for layer in (0, w.shape[0] - 1):
+            x = rng.standard_normal((16, w.shape[1])).astype(np.float32)
+            ref = x @ w[layer]
+            got = (x @ q[layer]) * s[layer]
+            bound = np.abs(x).sum(axis=1, keepdims=True) * (s[layer] / 2.0)
+            assert (np.abs(got - ref) <= bound + 1e-6).all()
+            denom = np.maximum(np.abs(ref), np.abs(ref).mean())
+            rel = np.abs(got - ref) / denom
+            assert rel.max() < 0.05, rel.max()
+            assert rel.mean() < 0.01, rel.mean()
