@@ -40,6 +40,17 @@ segmentation and admission timing (pinned in
 tests/test_decode_wide_segmented.py); sampled rows draw from
 (seed, global step) with the segmented kernel's invariance semantics.
 
+DEPLOYMENT NOTE (measured on the axon TPU backend): the FIRST execution of
+a freshly compiled variant of this kernel can read garbage (NaN logits ->
+out-of-vocab tokens) with bit-identical inputs succeeding on every later
+execution — a nondeterministic first-run platform quirk, not a data
+dependence (state snapshots replayed through the same executable fail
+only on the first run; the per-row contiguous-DMA layout was adopted
+while chasing it and retained for its simpler transfer pattern). Run each
+newly compiled (steps, live, sampling-flags) signature once on a
+THROWAWAY all-parked state before real state touches it —
+serving.ContinuousGenerationService._warm_wide_variant does exactly this.
+
 Reference surface: replaces the decode loop at reference cli.py:662-676 for
 the model class the reference could never run at all (weights beyond fast
 memory), under continuous serving load.
@@ -93,17 +104,23 @@ def _seg_cache_rows(cache_len: int, tail: int = TAIL,
 def init_wide_segment_state(packed, config, batch: int, cache_len: int,
                             tail: int = TAIL,
                             kv_chunk: int = KV_CHUNK_SEG):
-    """Carried state: zeroed lane-stacked HBM KV + the carry one-hot.
+    """Carried state: zeroed per-row HBM KV + the carry one-hot.
 
-    The KV layout matches :func:`ops.decode_kernel_wide.init_kv_state`
-    (``(L, rows, 2*B*E)``; row r holds every slot's k then v for cache slot
-    r) with segment-aligned row padding. Zeros matter only before a slot's
-    first occupant; later occupants overwrite every row they read.
+    The KV layout is PER ROW — ``(L, B * rows, 2*E)``: slot ``s``'s cache
+    occupies row block ``[s*rows, (s+1)*rows)``, each row holding that
+    cache slot's k (lanes [0, E)) then v (lanes [E, 2E)). Unlike the
+    whole-generation wide kernel's lane-stacked layout, every tail
+    flush/reload and chunk DMA is then a CONTIGUOUS full-lane block —
+    lane-sliced (strided) DMAs raced on hardware (first-execution NaNs
+    after a different program had run; see the r5 commit history). Zeros
+    matter only before a slot's first occupant; later occupants overwrite
+    every row they read.
     """
     vocab_pad = packed["wte"].shape[0]
     kv = jnp.zeros(
-        (config.num_layers, _seg_cache_rows(cache_len, tail, kv_chunk),
-         2 * batch * config.embed_dim),
+        (config.num_layers,
+         batch * _seg_cache_rows(cache_len, tail, kv_chunk),
+         2 * config.embed_dim),
         packed["wte"].dtype,
     )
     carry = jnp.zeros(
@@ -123,7 +140,7 @@ def wide_segment_vmem_bytes(config, batch: int, live: int,
     e = config.embed_dim
     total = 2 * 12 * e * e * dtype_bytes                      # weight bufs
     total += config.num_layers * TAIL * 2 * batch * e * dtype_bytes  # tails
-    total += 2 * KV_CHUNK_SEG * 2 * batch * e * dtype_bytes   # chunk buf
+    total += 2 * KV_CHUNK_SEG * 2 * e * dtype_bytes           # chunk buf
     if config.use_relative_attention:
         total += 2 * (2 * live + 256) * e * dtype_bytes       # rel block
     vocab_pad = -(-config.vocab_size // 256) * 256
@@ -157,7 +174,7 @@ def _wide_segment_kernel(
     del kv_hbm_in, carry_in  # aliased: all traffic through the outputs
     kv = kv_hbm_out
     B, R, E, C = batch, num_heads, embed_dim, cache_len
-    BE = B * E
+    CROWS = kv.shape[1] // B  # HBM cache rows per slot (per-row layout)
     step0 = step0_ref[0]
     nchunks = -(-live // KV_CHUNK_SEG)
     lead = _round_up(C, 128)  # rel table's leading zero rows
@@ -250,29 +267,40 @@ def _wide_segment_kernel(
             sem_rel,
         )
 
-    def kv_chunk_copy(layer, chunk, slot):
+    # Chunk DMAs run per (layer, chunk, s) — the per-row cache layout makes
+    # each one a CONTIGUOUS full-lane row block. The sequence index g walks
+    # them in execution order and picks the double-buffer slot (g % 2).
+    total_chunk_dmas = num_layers * nchunks * B
+
+    def kv_chunk_copy(g):
+        layer = g // (nchunks * B)
+        chunk = (g // B) % nchunks
+        s = g % B
         return pltpu.make_async_copy(
-            kv.at[layer, pl.ds(chunk * KV_CHUNK_SEG, KV_CHUNK_SEG)],
-            kv_buf.at[slot],
+            kv.at[layer, pl.ds(
+                s * CROWS + chunk * KV_CHUNK_SEG, KV_CHUNK_SEG
+            )],
+            kv_buf.at[g % 2],
             sem_kv,
         )
 
     def tail_row_copies(s, frontier, to_hbm: bool):
-        """Lane-sliced window transfer for row s: tail rows <-> HBM cache
-        rows [frontier, frontier + TAIL), k and v lanes separately."""
+        """Window transfer for row s: its tail rows <-> its HBM cache rows
+        [frontier, frontier + TAIL) — one contiguous full-lane block per
+        layer. (An earlier lane-sliced variant over the lane-stacked layout
+        raced on hardware: first execution after a different program read
+        garbage tail rows.)"""
         copies = []
         for layer in range(num_layers):
-            for lane0 in (s * E, BE + s * E):
-                hbm_ref = kv.at[
-                    layer,
-                    pl.ds(pl.multiple_of(frontier, TAIL), TAIL),
-                    pl.ds(lane0, E),
-                ]
-                vmem_ref = tail_buf.at[layer, :, pl.ds(lane0, E)]
-                src, dst = (
-                    (vmem_ref, hbm_ref) if to_hbm else (hbm_ref, vmem_ref)
-                )
-                copies.append(pltpu.make_async_copy(src, dst, sem_tail))
+            hbm_ref = kv.at[
+                layer,
+                pl.ds(pl.multiple_of(s * CROWS + frontier, TAIL), TAIL),
+            ]
+            vmem_ref = tail_buf.at[layer, pl.ds(s * TAIL, TAIL)]
+            src, dst = (
+                (vmem_ref, hbm_ref) if to_hbm else (hbm_ref, vmem_ref)
+            )
+            copies.append(pltpu.make_async_copy(src, dst, sem_tail))
         return copies
 
     def run_copies(copies):
@@ -319,8 +347,8 @@ def _wide_segment_kernel(
             copy.start()
         if use_rel:
             rel_copy(0).start()
-        if nchunks:
-            kv_chunk_copy(0, 0, 0).start()
+        if total_chunk_dmas:
+            kv_chunk_copy(0).start()
 
         tok_embed = jax.lax.dot_general(
             onehot, wte_ref[...],
@@ -370,23 +398,24 @@ def _wide_segment_kernel(
             qb = qb_f32.astype(tail_buf.dtype)
 
             # Per-row tail append at each row's OWN in-window offset
-            # (masked slab write into the row's lanes; parked rows write
+            # (masked slab write into the row's block; parked rows write
             # nothing via the active guard in row_hit).
             for s in range(B):
                 p_s = posc(i, s)
                 row_in_tail = p_s % TAIL
                 slab = pl.multiple_of(
-                    (row_in_tail // KV_SLAB) * KV_SLAB, KV_SLAB
+                    s * TAIL + (row_in_tail // KV_SLAB) * KV_SLAB, KV_SLAB
                 )
-                row_hit = (slab_rows == row_in_tail - slab) & (
-                    i >= start_ref[s]
-                )
-                for lane0, small in ((s * E, k_small), (BE + s * E, v_small)):
+                row_hit = (
+                    slab_rows
+                    == row_in_tail - (row_in_tail // KV_SLAB) * KV_SLAB
+                ) & (i >= start_ref[s])
+                for lane0, small in ((0, k_small), (E, v_small)):
                     old = tail_buf[
-                        layer, pl.ds(slab, KV_SLAB), pl.ds(lane0, E)
+                        layer, pl.ds(slab, KV_SLAB), lane0 : lane0 + E
                     ]
                     tail_buf[
-                        layer, pl.ds(slab, KV_SLAB), pl.ds(lane0, E)
+                        layer, pl.ds(slab, KV_SLAB), lane0 : lane0 + E
                     ] = jnp.where(
                         row_hit,
                         jnp.broadcast_to(small[s : s + 1], (KV_SLAB, E)),
@@ -407,24 +436,24 @@ def _wide_segment_kernel(
                     offset = (lead + window - 1 - posc(i, s)) - rel_base
                     bands.append(pltpu.roll(band, REL_SPAN - offset, axis=1))
 
-            # Chunked online-softmax attention over the HBM prefix; chunk
-            # DMAs are shared across rows (lane-stacked layout), masks are
-            # per-row (different flush frontiers).
+            # Chunked online-softmax attention over the HBM prefix; one
+            # contiguous chunk DMA per (layer, chunk, row), double-buffered
+            # along the (chunk, row) execution order; masks are per-row
+            # (different flush frontiers).
             m_s = [jnp.full((R, 1), NEG_INF, jnp.float32) for _ in range(B)]
             l_s = [jnp.zeros((R, 1), jnp.float32) for _ in range(B)]
             a_s = [jnp.zeros((R, E), jnp.float32) for _ in range(B)]
             for chunk in range(nchunks):
-                cslot = (layer * nchunks + chunk) % 2
-                kv_chunk_copy(layer, chunk, cslot).wait()
-                if chunk + 1 < nchunks:
-                    kv_chunk_copy(layer, chunk + 1, (cslot + 1) % 2).start()
-                elif layer + 1 < num_layers:
-                    kv_chunk_copy(layer + 1, 0, (cslot + 1) % 2).start()
                 base = chunk * KV_CHUNK_SEG
                 for s in range(B):
+                    g = (layer * nchunks + chunk) * B + s
+                    kv_chunk_copy(g).wait()
+                    if g + 1 < total_chunk_dmas:
+                        kv_chunk_copy(g + 1).start()
+                    cslot = g % 2
                     p_s = posc(i, s)
                     frontier = (p_s // TAIL) * TAIL
-                    k_c = kv_buf[cslot, :, s * E : (s + 1) * E]  # (Ck, E)
+                    k_c = kv_buf[cslot, :, 0:E]  # (Ck, E)
                     scores = jax.lax.dot_general(
                         qb[s * R : (s + 1) * R], k_c,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -442,7 +471,7 @@ def _wide_segment_kernel(
                     )
                     p = jnp.where(keep, jnp.exp(scores - m_new), 0.0)
                     alpha = jnp.exp(m_s[s] - m_new)
-                    v_c = kv_buf[cslot, :, BE + s * E : BE + (s + 1) * E]
+                    v_c = kv_buf[cslot, :, E : 2 * E]
                     a_s[s] = a_s[s] * alpha + jax.lax.dot_general(
                         p.astype(v_c.dtype), v_c,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -459,7 +488,9 @@ def _wide_segment_kernel(
             for s in range(B):
                 p_s = posc(i, s)
                 frontier = (p_s // TAIL) * TAIL
-                k_t = tail_buf[layer, :, s * E : (s + 1) * E]  # (TAIL, E)
+                k_t = tail_buf[
+                    layer, pl.ds(s * TAIL, TAIL), 0:E
+                ]  # (TAIL, E)
                 scores = jax.lax.dot_general(
                     qb[s * R : (s + 1) * R], k_t,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -478,7 +509,7 @@ def _wide_segment_kernel(
                 )
                 p = jnp.where(keep, jnp.exp(scores - m_new), 0.0)
                 alpha = jnp.exp(m_s[s] - m_new)
-                v_t = tail_buf[layer, :, BE + s * E : BE + (s + 1) * E]
+                v_t = tail_buf[layer, pl.ds(s * TAIL, TAIL), E : 2 * E]
                 acc = a_s[s] * alpha + jax.lax.dot_general(
                     p.astype(v_t.dtype), v_t,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -694,12 +725,12 @@ def decode_segment_wide(
         scratch_shapes=[
             pltpu.VMEM((2, E, 8 * E), wdtype),
             pltpu.VMEM((2, 4 * E, E), wdtype),
-            pltpu.VMEM((2, kv_chunk, 2 * batch * E), kv_dtype),
+            pltpu.VMEM((2, kv_chunk, 2 * E), kv_dtype),
             pltpu.VMEM(
                 (2, REL_SPAN if use_rel else 256, E),
                 packed["rel_rows"].dtype,
             ),
-            pltpu.VMEM((config.num_layers, tail, 2 * batch * E), kv_dtype),
+            pltpu.VMEM((config.num_layers, batch * tail, 2 * E), kv_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

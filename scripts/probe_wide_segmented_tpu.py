@@ -117,6 +117,18 @@ def flagship():
     plens = np.full(slots, 8, np.int32)
     prompts = rng.integers(0, 390, (slots, 8)).astype(np.int32)
     starts = np.zeros(slots, np.int32)
+
+    # Warm every compiled variant on a THROWAWAY parked state first: the
+    # axon backend's first execution of a fresh program can read garbage
+    # (see the kernel module docstring / serving._warm_wide_variant).
+    parked = np.full(slots, dws.PARKED, np.int32)
+    for live in (256, 512):
+        kvw, cw = dws.init_wide_segment_state(packed, config, slots, cache)
+        t, kvw, cw = dws.decode_segment_wide(
+            packed, kvw, cw, prompts, plens, parked, 0, 0, 0.0, 0, 0.0,
+            config=config, steps=64, cache_len=cache, live=live, greedy=True,
+        )
+        np.asarray(t)
     kv, carry = dws.init_wide_segment_state(packed, config, slots, cache)
 
     seg = 64
