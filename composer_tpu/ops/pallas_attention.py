@@ -57,21 +57,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile edge for the flash grid (q rows and k cols per tile). Auto policy:
-# 256 when the sequence divides (measured 1.5x over 128 across shapes —
-# fewer grid steps, half the softmax/lse bookkeeping per element), else
-# 128 (the lane-tile minimum). 512 fails to compile (VMEM).
-# COMPOSER_FLASH_BLOCK forces a specific size.
+# Tile edge for the flash grid (q rows and k cols per tile). Auto policy
+# (re-swept round 5, v5e-1, 2048 ctx): the largest edge that compiles wins
+# — 512 over 256 measures 268->212 ms/step at head_dim 64 (28->36 % of
+# bf16 peak), 246->203 ms at head_dim 128 (54->62 %), and 233->150 ms at
+# the D=16 reference arch — fewer grid steps and half the per-element
+# softmax/lse bookkeeping again. 1024 fails to compile (VMEM), and 512
+# only fits with bf16 tiles: f32 inputs blow the backward's scoped VMEM
+# (19.8M > 16M), so f32 callers cap at 256. COMPOSER_FLASH_BLOCK forces a
+# specific size.
 MIN_BLOCK = 128
-PREFERRED_BLOCK = 256
+PREFERRED_BLOCKS = (512, 256)
 _BLOCK_ENV = os.environ.get("COMPOSER_FLASH_BLOCK")
 
 
-def _pick_block(seq_len: int) -> int:
+def _pick_block(seq_len: int, dtype=None) -> int:
     if _BLOCK_ENV:
         return int(_BLOCK_ENV)
-    if seq_len % PREFERRED_BLOCK == 0:
-        return PREFERRED_BLOCK
+    for candidate in PREFERRED_BLOCKS:
+        if candidate == 512 and dtype in (jnp.float32, np.float32):
+            continue
+        if seq_len % candidate == 0:
+            return candidate
     return MIN_BLOCK
 NEG_INF = -1e30
 # Per-row scalar arrays (lse, delta) are stored as (bh, _SUBLANES, S): row 0
@@ -578,7 +585,7 @@ def relative_flash_attention(
         interpret = jax.default_backend() == "cpu"
     batch, heads, seq_len, depth = q.shape
     if block is None:
-        block = _pick_block(seq_len)
+        block = _pick_block(seq_len, q.dtype)
     if seq_len % block != 0:
         raise ValueError(f"sequence length {seq_len} not a multiple of {block}")
 
