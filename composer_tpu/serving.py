@@ -679,7 +679,6 @@ class ContinuousGenerationService(_OverloadControlMixin):
             self._state = init_wide_segment_state(
                 self.packed, model.config, self.slots, self.cache_len
             )
-            self._warmed_wide = set()  # (live, greedy, use_k, use_p) warmed
         else:
             self.packed = pack_weights(variables, model.config, dtype=dtype)
 
@@ -711,6 +710,7 @@ class ContinuousGenerationService(_OverloadControlMixin):
                 self.packed, model.config, self.slots, self.cache_len
             )
         self.max_batch_size = self.slots  # the /v1/health contract
+        self._warmed_variants = set()  # (live, greedy, use_k, use_p) warmed
         self._prompts = np.zeros((self.slots, self.width), np.int32)
         self._plens = np.ones(self.slots, np.int32)
         self._starts = np.full(self.slots, PARKED, np.int32)
@@ -942,47 +942,71 @@ class ContinuousGenerationService(_OverloadControlMixin):
         self._topks[slot] = 0
         self._topps[slot] = 0.0
 
-    def _warm_wide_variant(self, live: int, greedy: bool, use_k: bool,
-                           use_p: bool) -> None:
-        """Runs a freshly compiled wide-segment variant once on a THROWAWAY
+    def _warm_segment_variant(self, live: int, greedy: bool, use_k: bool,
+                              use_p: bool) -> None:
+        """Runs a freshly compiled segment variant once on a THROWAWAY
         all-parked state before it ever touches real state.
 
-        Measured on the axon backend: the first execution of a freshly
-        compiled wide-segment program can read garbage (NaN logits -> all
-        out-of-vocab tokens) with identical inputs succeeding on every
-        later execution; one warm run on disposable state makes the
-        variant reliable (and pre-pays its compile off the request path).
-        Keyed per (live, sampling-flags) — the compile signature the
-        scheduler varies at runtime.
+        Measured on the axon backend (round-5 debugging of the wide
+        kernel): the first execution of a freshly compiled segment program
+        can read garbage (NaN logits -> all out-of-vocab tokens) with
+        identical inputs succeeding on every later execution; one warm run
+        on disposable state makes the variant reliable (and pre-pays its
+        compile off the request path). Applied to BOTH engines — the
+        resident kernel compiles new live buckets mid-serving through the
+        same machinery — keyed per (live, sampling-flags), the compile
+        signature the scheduler varies at runtime.
         """
         key = (live, greedy, use_k, use_p)
-        if key in self._warmed_wide or self.interpret:
+        if key in self._warmed_variants or self.interpret:
             # The quirk is a hardware first-execution artifact; interpret
             # mode (CPU tests) never exhibits it and a throwaway segment
             # there costs real wall-clock.
             return
-        from composer_tpu.ops.decode_kernel_wide_segmented import (
-            decode_segment_wide,
-            init_wide_segment_state,
-        )
-
-        kv, carry = init_wide_segment_state(
-            self.packed, self.config, self.slots, self.cache_len
-        )
         parked = np.full(self.slots, self._parked, np.int32)
-        tokens, kv, carry = decode_segment_wide(
-            self.packed, kv, carry,
-            self._prompts, np.ones(self.slots, np.int32), parked,
-            0, self._seed, self._temps.copy(), self._topks.copy(),
-            self._topps.copy(),
-            config=self.config, steps=self.seg_steps,
-            cache_len=self.cache_len, live=live,
-            interpret=self.interpret, greedy=greedy,
-            use_k=use_k, use_p=use_p,
-        )
+        plens = np.ones(self.slots, np.int32)
+        if self.wide:
+            from composer_tpu.ops.decode_kernel_wide_segmented import (
+                decode_segment_wide,
+                init_wide_segment_state,
+            )
+
+            kv, carry = init_wide_segment_state(
+                self.packed, self.config, self.slots, self.cache_len
+            )
+            tokens, kv, carry = decode_segment_wide(
+                self.packed, kv, carry,
+                self._prompts, plens, parked,
+                0, self._seed, self._temps.copy(), self._topks.copy(),
+                self._topps.copy(),
+                config=self.config, steps=self.seg_steps,
+                cache_len=self.cache_len, live=live,
+                interpret=self.interpret, greedy=greedy,
+                use_k=use_k, use_p=use_p,
+            )
+            del kv, carry
+        else:
+            from composer_tpu.ops.decode_kernel_segmented import (
+                decode_segment,
+                init_segment_state,
+            )
+
+            kbuf, vbuf, carry = init_segment_state(
+                self.packed, self.config, self.slots, self.cache_len
+            )
+            tokens, kbuf, vbuf, carry = decode_segment(
+                self.packed, kbuf, vbuf, carry,
+                self._prompts, plens, parked,
+                0, self._seed, self._temps.copy(), self._topks.copy(),
+                self._topps.copy(),
+                config=self.config, steps=self.seg_steps,
+                cache_len=self.cache_len, live=live,
+                interpret=self.interpret, greedy=greedy,
+                use_k=use_k, use_p=use_p,
+            )
+            del kbuf, vbuf, carry
         np.asarray(tokens)  # block: the warm run must COMPLETE before use
-        del kv, carry
-        self._warmed_wide.add(key)
+        self._warmed_variants.add(key)
 
     def _dispatch(self):
         """Queues one segment on the device; returns (step0, starts, plens,
@@ -1010,7 +1034,7 @@ class ContinuousGenerationService(_OverloadControlMixin):
                 decode_segment_wide,
             )
 
-            self._warm_wide_variant(live, greedy, use_k, use_p)
+            self._warm_segment_variant(live, greedy, use_k, use_p)
             kv, carry = self._state
             tokens, kv, carry = decode_segment_wide(
                 self.packed, kv, carry,
@@ -1024,6 +1048,7 @@ class ContinuousGenerationService(_OverloadControlMixin):
             )
             self._state = (kv, carry)
         else:
+            self._warm_segment_variant(live, greedy, use_k, use_p)
             kbuf, vbuf, carry = self._state
             tokens, kbuf, vbuf, carry = decode_segment(
                 self.packed, kbuf, vbuf, carry,
