@@ -63,9 +63,11 @@ from jax.experimental.pallas import tpu as pltpu
 # bf16 peak), 246->203 ms at head_dim 128 (54->62 %), and 233->150 ms at
 # the D=16 reference arch — fewer grid steps and half the per-element
 # softmax/lse bookkeeping again. 1024 fails to compile (VMEM), and 512
-# only fits with bf16 tiles: f32 inputs blow the backward's scoped VMEM
-# (19.8M > 16M), so f32 callers cap at 256. COMPOSER_FLASH_BLOCK forces a
-# specific size.
+# only fits inside the backward's 16M scoped-VMEM budget with bf16 tiles
+# AND seq_len <= 2048 (f32 tiles overflow it by 3.8M at 2048 ctx; bf16
+# overflows by 3.6M at 4096 — the revisited full-sequence dq block scales
+# with S); outside that envelope the policy falls back to 256.
+# COMPOSER_FLASH_BLOCK forces a specific size.
 MIN_BLOCK = 128
 PREFERRED_BLOCKS = (512, 256)
 _BLOCK_ENV = os.environ.get("COMPOSER_FLASH_BLOCK")
@@ -75,7 +77,9 @@ def _pick_block(seq_len: int, dtype=None) -> int:
     if _BLOCK_ENV:
         return int(_BLOCK_ENV)
     for candidate in PREFERRED_BLOCKS:
-        if candidate == 512 and dtype in (jnp.float32, np.float32):
+        if candidate == 512 and (
+            dtype in (jnp.float32, np.float32) or seq_len > 2048
+        ):
             continue
         if seq_len % candidate == 0:
             return candidate
