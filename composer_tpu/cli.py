@@ -764,19 +764,43 @@ def serve(model_type, restoredir, host, port, max_batch_size, max_wait_ms,
 @click.option("--sf-save-path", "soundfont_save_path", default="data/soundfonts",
               help="The path to save the default soundfont to.")
 @click.option("--chunk-size", default=32768, help="Bytes per download chunk. Defaults to 32768.")
-def synthesize(midi_filepath, soundfont_filepath, soundfont_save_path, chunk_size):
-    """Synthesize a MIDI file to WAV using a soundfont (requires fluidsynth)."""
-    if soundfont_filepath is None:
-        soundfont_filepath = _ensure_default_soundfont(Path(soundfont_save_path), chunk_size)
+@click.option("--renderer", default="auto",
+              type=click.Choice(["auto", "fluidsynth", "builtin"]),
+              help="'fluidsynth' uses a soundfont (the reference's path); "
+                   "'builtin' is the dependency-free additive renderer "
+                   "(composer_tpu/midi/synth.py); 'auto' (default) prefers "
+                   "fluidsynth and falls back to builtin when it is "
+                   "missing.")
+def synthesize(midi_filepath, soundfont_filepath, soundfont_save_path,
+               chunk_size, renderer):
+    """Synthesize a MIDI file to WAV (fluidsynth or the built-in renderer)."""
+    midi_filepath = Path(midi_filepath)
+    output_filepath = midi_filepath.parent / (midi_filepath.stem + ".wav")
 
-    if which("fluidsynth") is None:
+    have_fluidsynth = which("fluidsynth") is not None
+    if renderer == "fluidsynth" and not have_fluidsynth:
         logging.error(
-            "Could not find FluidSynth, which is required for synthesization using a soundfont."
+            "Could not find FluidSynth, which is required for synthesization "
+            "using a soundfont (use --renderer builtin for the offline "
+            "fallback)."
         )
         raise click.exceptions.Exit(1)
 
-    midi_filepath = Path(midi_filepath)
-    output_filepath = midi_filepath.parent / (midi_filepath.stem + ".wav")
+    if renderer == "builtin" or (renderer == "auto" and not have_fluidsynth):
+        from composer_tpu.midi.synth import render_midi_to_wav
+
+        if renderer == "auto":
+            logging.info(
+                "FluidSynth not found; rendering with the built-in additive "
+                "synthesizer instead."
+            )
+        render_midi_to_wav(midi_filepath, output_filepath)
+        logging.info("Wrote '%s' (built-in renderer).", output_filepath)
+        return
+
+    if soundfont_filepath is None:
+        soundfont_filepath = _ensure_default_soundfont(Path(soundfont_save_path), chunk_size)
+
     subprocess.call([
         "fluidsynth", "-T", "wav",
         "-F", str(output_filepath),
