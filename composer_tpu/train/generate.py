@@ -724,14 +724,15 @@ def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
     takes over exactly the case where it is BOTH distribution-exact vs the
     sequential megakernel (bit-identical under f32; under bf16, near-tie
     argmax flips — the class by which all engines already differ) and a
-    measured win: single-sequence GREEDY decoding on TPU — 1.85x the
-    sequential marginal on the round-4 validation model after the round-5
-    acceptance fix (148.7k vs 80.4k events/sec at block 5, acceptance
-    2.5 tokens/block; docs/serving.md block table). Sampled auto stays
-    sequential: the post-fix sampled win (1.13x at block 3 on that model)
-    is real but measured on one trained model — it stays opt-in until
-    confirmed more broadly, with realized acceptance exposed through
-    serving /v1/health when it runs."""
+    measured win: single-sequence GREEDY decoding on TPU — 1.85x and
+    2.32x the sequential marginal on the two round-5 trained models at
+    block 5 (148.7k and 186.7k vs 80.4k events/sec; docs/serving.md
+    block table). Sampled auto stays sequential even though BOTH trained
+    models measure the sampled engine above it post-fix (1.13x and
+    1.09-1.17x): the no-acceptance floor (random-weight content) measures
+    0.76x, and auto's contract is never-below-sequential for any content.
+    engine='spec' opts sampled requests in, with realized acceptance
+    exposed through serving /v1/health when it runs."""
     if engine == "auto":
         if jax.default_backend() != "tpu":
             return False
