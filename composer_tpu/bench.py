@@ -447,10 +447,11 @@ def run_speculative_benchmark(
     * ``trained_greedy`` / ``trained_sampled`` (when ``restoredir`` or
       ``$COMPOSER_SPEC_RESTOREDIR`` points at a trained logdir): the
       realized rates on a real model — greedy (the configuration the
-      'auto' engine routes here, measured 1.39x the sequential kernel)
-      and temperature-0.9 sampling (draft-bound, ~the sequential rate;
-      why sampled auto stays sequential). docs/validation.md records the
-      round-4 measurements.
+      'auto' engine routes here; 1.85x / 2.32x the sequential kernel on
+      the two round-5 trained models) and temperature-0.9 sampling
+      (1.09-1.17x on both trained models post-fix, but 0.76x on the
+      no-acceptance floor — why sampled auto stays sequential).
+      docs/validation.md records the measurement campaigns.
 
     The headline ``value`` is the trained greedy marginal when available —
     the rate the deployed auto configuration actually serves — else the

@@ -220,3 +220,20 @@ def test_explicit_pallas_request_wins_over_band_default(monkeypatch):
             q, q, q, use_pallas=False, band_block_size=128
         )
     assert calls["band"] == 1
+
+
+def test_pick_block_policy():
+    """The round-5 tile policy: 512 for bf16 sequences that divide and fit
+    the backward's scoped-VMEM envelope (seq_len <= 2048); f32 callers and
+    longer sequences cap at 256; non-multiples fall back to 128."""
+    import jax.numpy as jnp
+
+    from composer_tpu.ops.pallas_attention import _pick_block
+
+    assert _pick_block(2048, jnp.bfloat16) == 512
+    assert _pick_block(1024, jnp.bfloat16) == 512
+    assert _pick_block(2048, jnp.float32) == 256   # f32 bwd blows scoped VMEM
+    assert _pick_block(4096, jnp.bfloat16) == 256  # S-dependent dq block
+    assert _pick_block(2048) == 512
+    assert _pick_block(384, jnp.bfloat16) == 128   # divides neither 512/256
+    assert _pick_block(256, jnp.bfloat16) == 256
