@@ -254,7 +254,7 @@ class GenerationService(_OverloadControlMixin):
                  vocab_size: int, max_batch_size: int = 8,
                  max_wait_ms: float = 20.0, seed: int = 0,
                  max_queue_depth: int = 0, default_deadline_ms: float = 0.0,
-                 mesh=None):
+                 mesh=None, wide_batch_pad=None):
         self.model = model
         self.model_type = model_type
         self.variables = variables
@@ -268,6 +268,21 @@ class GenerationService(_OverloadControlMixin):
         # and decoding runs on the XLA scan engine — jit's SPMD partitioner
         # inserts the collectives. The fused single-device kernels do not
         # shard; they stay the engine for mesh=None.
+        # Wide (weights-over-VMEM) models dispatch at ONE fixed batch size:
+        # the streaming kernel's per-step cost is dominated by the weight
+        # stream and nearly batch-independent, while every distinct batch
+        # size is a separate multi-minute kernel compile — under mixed
+        # concurrency the run-to-completion coalescer would otherwise pay
+        # a compile per occupancy level ON the request path (measured p50
+        # 162 s vs sub-second once shapes are fixed).
+        if wide_batch_pad is None:
+            from composer_tpu.train.generate import _packed_weight_bytes
+
+            wide_batch_pad = (
+                model_type == ModelType.TRANSFORMER
+                and _packed_weight_bytes(model.config) >= 60 * 1024 * 1024
+            )
+        self.wide_batch_pad = bool(wide_batch_pad)
         self.mesh = mesh
         if mesh is not None:
             from composer_tpu.parallel import mesh as mesh_lib
@@ -432,6 +447,10 @@ class GenerationService(_OverloadControlMixin):
         try:
             rows = len(batch)
             padded = _bucket(rows, self.max_batch_size)
+            if self.wide_batch_pad:
+                # One compiled batch shape for the streaming wide kernel
+                # (see __init__): occupancy no longer picks the program.
+                padded = max(padded, self.max_batch_size)
             if self._data_degree > 1:
                 # Batch-sharding over the mesh's data axis needs the batch
                 # dimension divisible by the axis size.

@@ -963,3 +963,45 @@ def test_continuous_auto_picks_resident_for_small_models():
         num_heads=16,
     )
     assert _packed_weight_bytes(big) >= 60 * 1024 * 1024
+
+
+def test_wide_model_batches_pad_to_fixed_size(monkeypatch):
+    """Wide (weights-over-VMEM) models dispatch at ONE fixed batch size:
+    every distinct batch size is a separate multi-minute streaming-kernel
+    compile, while the per-step cost is weight-stream-bound and nearly
+    batch-independent — so occupancy must not pick the compiled program
+    (measured p50 162 s under Poisson arrivals before this fix)."""
+    from composer_tpu.train import generate as gen
+
+    model, params = _tiny_model()
+    shapes = []
+    real = gen.generate_ids
+
+    def spy(model_, model_type_, variables_, prompts_, **kwargs):
+        shapes.append(np.asarray(prompts_).shape[0])
+        return real(model_, model_type_, variables_, prompts_, **kwargs)
+
+    monkeypatch.setattr(gen, "generate_ids", spy)
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=4, max_wait_ms=5.0, wide_batch_pad=True,
+    )
+    try:
+        out = service.submit([5, 8, 11], length=4, temperature=0.0)
+        assert len(out) == 7
+    finally:
+        service.close()
+    assert shapes == [4], shapes  # one request still dispatches at size 4
+
+    # The default (resident-size models) keeps power-of-two bucketing.
+    shapes.clear()
+    service = GenerationService(
+        model, ModelType.TRANSFORMER, params, VOCAB,
+        max_batch_size=4, max_wait_ms=5.0,
+    )
+    try:
+        assert not service.wide_batch_pad
+        service.submit([5, 8, 11], length=4, temperature=0.0)
+    finally:
+        service.close()
+    assert shapes == [1], shapes
