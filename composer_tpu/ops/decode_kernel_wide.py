@@ -44,7 +44,16 @@ prefix per layer (~2*live*B*E bytes) — the XLA scan pays the same bytes
 plus ~a hundred kernel launches per step and intermediate materialization.
 Optional int8 weight packing (``pack_weights_wide(dtype=jnp.int8)``)
 halves the weight stream with per-output-channel scales folded into the
-matmul epilogue; see quantization notes on that function.
+matmul epilogue; see quantization notes on that function. Optional int8
+KV (``init_kv_state(quantize_kv=True)``; ``COMPOSER_WIDE_INT8_KV=1`` in
+the serving engine) halves the KV prefix stream the same way: rows are
+quantized per-(row, sequence, k|v) at the tail flush (the hot tail stays
+float), and the scales dequantize EXACTLY in the attention epilogues —
+scores take the k scale as a per-column multiply after the QK matmul, and
+the v scale rides the probability row into the AV matmul. Tokens before
+the first flush (position < TAIL) are bit-identical to the float-KV path
+by construction; after it, divergence is bounded by the half-step
+quantization error (pinned in tests/test_decode_wide.py).
 
 Reference surface: the decode loop this engine replaces ran one eager model
 call per token (reference cli.py:662-676).
@@ -86,6 +95,39 @@ KV_CHUNK = 512
 # the tail block for everything since (current row included).
 TAIL = 128
 
+# int8-KV scale blocks are stored per TAIL-row window ((L, windows, S2,
+# TAIL) in HBM, cache-row-major along lanes); one KV chunk spans this many
+# of them, fetched alongside the chunk.
+WINDOWS_PER_CHUNK = KV_CHUNK // TAIL
+
+
+def quantize_kv_segments(block, num_segments, seg_width):
+    """Per-(row, segment) symmetric int8 quantization of a KV block.
+
+    ``block`` is ``(rows, num_segments * seg_width)`` float — one lane
+    segment per (sequence, k-or-v), the wide kernels' lane-stacked row
+    layout. Returns ``(q, scales)``: ``q`` int8 of the same shape and
+    ``scales`` ``(rows, num_segments)`` f32 with
+    ``scales[r, j] = max|block[r, j*W:(j+1)*W]| / 127`` (guarded below by
+    ``1e-12``), so dequantization ``q * scale`` sits within half a
+    quantization step of the original elementwise. Shared by the kernel's
+    flush path and the tests pinning that contract.
+    """
+    cols_q, cols_s = [], []
+    for j in range(num_segments):
+        seg = block[:, j * seg_width : (j + 1) * seg_width].astype(
+            jnp.float32
+        )
+        m = jnp.maximum(
+            jnp.max(jnp.abs(seg), axis=1, keepdims=True), 1e-12
+        )
+        cols_q.append(jnp.clip(jnp.round(seg * (127.0 / m)), -127.0, 127.0))
+        cols_s.append(m * (1.0 / 127.0))
+    return (
+        jnp.concatenate(cols_q, axis=1).astype(jnp.int8),
+        jnp.concatenate(cols_s, axis=1),
+    )
+
 
 def _wide_matmul(x, w_ref_slice, scale=None):
     """x (rows, K) f32 @ streamed weight block (K, N) -> (rows, N) f32.
@@ -117,17 +159,28 @@ def _wide_kernel(
     wscale_ref, fpscale_ref,
     # tensor inputs: HBM-resident (streamed)
     big_w_hbm, fp_w_hbm, rel_hbm, kv_hbm_in,
-    # outputs
-    tokens_ref, kv_hbm_out,
-    # scratch
-    big_buf, fp_buf, kv_buf, rel_buf, tail_buf,
-    sem_w, sem_kv, sem_rel, sem_flush,
-    *, batch: int, num_layers: int, num_heads: int, head_dim: int,
+    # outputs + scratch are positional and differ between the float-KV and
+    # int8-KV variants — unpacked from *rest below
+    *rest,
+    batch: int, num_layers: int, num_heads: int, head_dim: int,
     embed_dim: int, cache_len: int, window: int, vocab_pad: int,
     vocab_size: int, num_steps: int, ln_eps: float, scale_attention: bool,
     greedy: bool, use_rel: bool, quantized: bool,
     use_k: bool = False, use_p: bool = False,
+    kv_quantized: bool = False, s2: int = 8,
 ):
+    if kv_quantized:
+        (ks_hbm_in, tokens_ref, kv_hbm_out, ks_hbm_out,
+         big_buf, fp_buf, kv_buf, rel_buf, tail_buf,
+         scale_buf, q_stage, scale_stage,
+         sem_w, sem_kv, sem_rel, sem_flush, sem_scale) = rest
+        del ks_hbm_in  # aliased: all traffic goes through ks_hbm_out
+        ks = ks_hbm_out
+    else:
+        (tokens_ref, kv_hbm_out,
+         big_buf, fp_buf, kv_buf, rel_buf, tail_buf,
+         sem_w, sem_kv, sem_rel, sem_flush) = rest
+        ks = scale_buf = q_stage = scale_stage = sem_scale = None
     del kv_hbm_in  # aliased: all traffic goes through kv_hbm_out
     kv = kv_hbm_out
     B, R, E, C = batch, num_heads, embed_dim, cache_len
@@ -176,6 +229,14 @@ def _wide_kernel(
     chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (R, KV_CHUNK), 1)
     tail_cols = jax.lax.broadcasted_iota(jnp.int32, (R, TAIL), 1)
     slab_rows = jax.lax.broadcasted_iota(jnp.int32, (KV_SLAB, 2 * BE), 0)
+    if kv_quantized:
+        # (TAIL, TAIL) identity: contracting its sublane dim against the
+        # flush scales' sublane dim transposes them on the MXU (dynamic
+        # lane<->sublane relayout is not a Mosaic primitive; a dot is).
+        tail_ident = (
+            jax.lax.broadcasted_iota(jnp.int32, (TAIL, TAIL), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (TAIL, TAIL), 1)
+        ).astype(jnp.float32)
 
     softmax_scale = float(head_dim) ** -0.5 if scale_attention else 1.0
 
@@ -224,6 +285,17 @@ def _wide_kernel(
             sem_kv,
         )
 
+    def scale_chunk_copy(layer, chunk, slot):
+        # The (WINDOWS_PER_CHUNK, S2, TAIL) scale blocks covering the KV
+        # chunk's rows; started/waited in lockstep with kv_chunk_copy.
+        return pltpu.make_async_copy(
+            ks.at[layer, pl.ds(
+                chunk * WINDOWS_PER_CHUNK, WINDOWS_PER_CHUNK
+            )],
+            scale_buf.at[slot],
+            sem_scale,
+        )
+
     def make_step(live):
         nchunks = -(-live // KV_CHUNK)
 
@@ -240,9 +312,29 @@ def _wide_kernel(
             # rewrites the tail from scratch.)
             @pl.when(jnp.logical_and(position % TAIL == 0, position > 0))
             def _flush():
+                window_index = position // TAIL - 1
                 for lf in range(num_layers):
+                    if kv_quantized:
+                        # Quantize the completed window at flush time: the
+                        # tail stays float (recent rows keep full
+                        # precision), only the cold HBM prefix pays the
+                        # int8 squeeze. Scales are per (cache row,
+                        # sequence, k|v) — segment j < batch is sequence
+                        # j's k, segment batch + j its v.
+                        q_block, scales = quantize_kv_segments(
+                            tail_buf[lf], 2 * batch, E
+                        )
+                        q_stage[...] = q_block
+                        scales_t = jax.lax.dot_general(
+                            scales, tail_ident,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (2B, TAIL): lane = cache row within the window
+                        scale_stage[...] = jnp.pad(
+                            scales_t, ((0, s2 - 2 * batch), (0, 0))
+                        )[None]
                     flush = pltpu.make_async_copy(
-                        tail_buf.at[lf],
+                        q_stage if kv_quantized else tail_buf.at[lf],
                         kv.at[lf, pl.ds(
                             pl.multiple_of(position - TAIL, TAIL), TAIL
                         )],
@@ -250,6 +342,14 @@ def _wide_kernel(
                     )
                     flush.start()
                     flush.wait()
+                    if kv_quantized:
+                        sflush = pltpu.make_async_copy(
+                            scale_stage,
+                            ks.at[lf, pl.ds(window_index, 1)],
+                            sem_scale,
+                        )
+                        sflush.start()
+                        sflush.wait()
 
             # Stream-in prologue: layer 0's weights (+ rel band) and the
             # first KV chunk; each layer then prefetches its successor's.
@@ -258,6 +358,8 @@ def _wide_kernel(
             if use_rel:
                 rel_copy(0, position, live).start()
             kv_chunk_copy(0, 0, 0).start()
+            if kv_quantized:
+                scale_chunk_copy(0, 0, 0).start()
 
             tok_embed = jax.lax.dot_general(
                 onehot, wte_ref[...],
@@ -338,18 +440,43 @@ def _wide_kernel(
                 for chunk in range(nchunks):
                     cslot = (layer * nchunks + chunk) % 2
                     kv_chunk_copy(layer, chunk, cslot).wait()
+                    if kv_quantized:
+                        scale_chunk_copy(layer, chunk, cslot).wait()
                     if chunk + 1 < nchunks:
                         kv_chunk_copy(layer, chunk + 1, (cslot + 1) % 2).start()
+                        if kv_quantized:
+                            scale_chunk_copy(
+                                layer, chunk + 1, (cslot + 1) % 2
+                            ).start()
                     elif layer + 1 < num_layers:
                         kv_chunk_copy(layer + 1, 0, (cslot + 1) % 2).start()
+                        if kv_quantized:
+                            scale_chunk_copy(
+                                layer + 1, 0, (cslot + 1) % 2
+                            ).start()
                     base = chunk * KV_CHUNK
                     for s in range(B):
                         k_c = kv_buf[cslot, :, s * E : (s + 1) * E]  # (Ck, E)
+                        if kv_quantized:
+                            k_c = k_c.astype(qb.dtype)
                         scores = jax.lax.dot_general(
                             qb[s * R : (s + 1) * R], k_c,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )  # (R, Ck)
+                        if kv_quantized:
+                            # Exact dequantization as an epilogue: column c
+                            # is cache row base + c, whose k rows were all
+                            # scaled by one scalar — one per-column
+                            # broadcast multiply restores q . k_true.
+                            k_sc = jnp.concatenate(
+                                [
+                                    scale_buf[cslot, w, s : s + 1, :]
+                                    for w in range(WINDOWS_PER_CHUNK)
+                                ],
+                                axis=1,
+                            )  # (1, KV_CHUNK)
+                            scores = scores * k_sc
                         if use_rel:
                             # The rolled band covers lanes [0, live+128);
                             # the chunk may overhang (over-read rows are
@@ -379,8 +506,24 @@ def _wide_kernel(
                         p = jnp.where(keep, jnp.exp(scores - m_new), 0.0)
                         alpha = jnp.exp(m_s[s] - m_new)
                         v_c = kv_buf[cslot, :, BE + s * E : BE + (s + 1) * E]
+                        if kv_quantized:
+                            # v's dequant scale rides the probability row
+                            # (per-column broadcast) so the AV matmul
+                            # contracts true values; l_s keeps the
+                            # UNSCALED p — softmax mass is scale-free.
+                            v_c = v_c.astype(qb.dtype)
+                            v_sc = jnp.concatenate(
+                                [
+                                    scale_buf[cslot, w, B + s : B + s + 1, :]
+                                    for w in range(WINDOWS_PER_CHUNK)
+                                ],
+                                axis=1,
+                            )  # (1, KV_CHUNK)
+                            p_av = p * v_sc
+                        else:
+                            p_av = p
                         a_s[s] = a_s[s] * alpha + jax.lax.dot_general(
-                            p.astype(v_c.dtype), v_c,
+                            p_av.astype(v_c.dtype), v_c,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
@@ -579,15 +722,35 @@ def _cache_rows(cache_len: int) -> int:
     return _round_up(cache_len, KV_CHUNK)
 
 
-def init_kv_state(config, batch: int, cache_len: int, dtype=jnp.bfloat16):
+def init_kv_state(config, batch: int, cache_len: int, dtype=jnp.bfloat16,
+                  quantize_kv: bool = False):
     """Zeroed lane-stacked HBM KV cache (L, rows, 2*B*E), carried by the
     engine across calls (donated through every kernel invocation). Zeros
     matter only for the very first call — later calls overwrite every row
     they read (stale finite values are softmax-masked; NaNs from
-    uninitialized memory would not be)."""
+    uninitialized memory would not be).
+
+    ``quantize_kv=True`` returns the int8-KV state pair instead: an int8
+    cache of the same shape plus its per-(row, sequence, k|v) dequant
+    scales ``(L, rows // TAIL, S2, TAIL)`` f32 (S2 = 2*batch padded to the
+    f32 sublane tile; lane = cache row within the window). The pair halves
+    the per-step KV prefix stream — the wide kernels' second-largest HBM
+    term after the weights (COMPOSER_WIDE_INT8_KV in the serving engine).
+    """
+    rows = _cache_rows(cache_len)
+    if quantize_kv:
+        s2 = _round_up(2 * batch, 8)
+        return (
+            jnp.zeros(
+                (config.num_layers, rows, 2 * batch * config.embed_dim),
+                jnp.int8,
+            ),
+            jnp.zeros(
+                (config.num_layers, rows // TAIL, s2, TAIL), jnp.float32
+            ),
+        )
     return jnp.zeros(
-        (config.num_layers, _cache_rows(cache_len),
-         2 * batch * config.embed_dim),
+        (config.num_layers, rows, 2 * batch * config.embed_dim),
         dtype,
     )
 
@@ -598,10 +761,11 @@ def init_kv_state(config, batch: int, cache_len: int, dtype=jnp.bfloat16):
         "config", "length", "cache_len", "interpret", "greedy", "use_k",
         "use_p", "ragged",
     ),
-    donate_argnums=(1,),
+    donate_argnums=(1, 2),
 )
 def _wide_impl(
-    packed, kv_state, prompts, plens, seed, temperature, top_k, top_p,
+    packed, kv_state, kv_scale, prompts, plens, seed, temperature, top_k,
+    top_p,
     *, config, length: int, cache_len: int, interpret: bool, greedy: bool,
     use_k: bool = False, use_p: bool = False, ragged: bool = False,
 ):
@@ -609,8 +773,11 @@ def _wide_impl(
     batch, prompt_len = prompts.shape
     vocab_pad = packed["wte"].shape[0]
     use_rel = config.use_relative_attention
-    # Static under jit: dtype is a tracer attribute, not a traced value.
+    # Static under jit: dtype is a tracer attribute, not a traced value
+    # (and `kv_scale is None` resolves at trace time the same way).
     quantized = packed["big_w"].dtype == jnp.int8
+    kv_quant = kv_scale is not None
+    s2 = kv_scale.shape[2] if kv_quant else 8
     num_steps = prompt_len + length - 1
     out_len = num_steps if ragged else length
     live_max = cache_len  # _decode_stages caps live at cache_len
@@ -652,6 +819,8 @@ def _wide_impl(
         quantized=quantized,
         use_k=use_k,
         use_p=use_p,
+        kv_quantized=kv_quant,
+        s2=s2,
     )
 
     temps = jnp.broadcast_to(
@@ -679,10 +848,32 @@ def _wide_impl(
         packed["qkv_b"], packed["proj_b"], packed["fc_b"], packed["fp_b"],
         logits_b, packed["wscale"], packed["fpscale"],
     )
-    hbm_inputs = (packed["big_w"], packed["fp_w"], rel_pad, kv_state)
+    hbm_inputs = (packed["big_w"], packed["fp_w"], rel_pad, kv_state) + (
+        (kv_scale,) if kv_quant else ()
+    )
 
     wdtype = packed["big_w"].dtype
     kv_dtype = kv_state.dtype
+    # The tail window stays FLOAT under int8 KV: recent rows keep full
+    # precision and quantization happens once, at the flush.
+    tail_dtype = packed["wte"].dtype if kv_quant else kv_dtype
+    scratch = [
+        pltpu.VMEM((2, E, 8 * E), wdtype),
+        pltpu.VMEM((2, 4 * E, E), wdtype),
+        pltpu.VMEM((2, KV_CHUNK, 2 * batch * E), kv_dtype),
+        pltpu.VMEM(
+            (2, (live_max if use_rel else 128) + 128, E),
+            packed["rel_rows"].dtype,
+        ),
+        pltpu.VMEM((config.num_layers, TAIL, 2 * batch * E), tail_dtype),
+    ]
+    if kv_quant:
+        scratch += [
+            pltpu.VMEM((2, WINDOWS_PER_CHUNK, s2, TAIL), jnp.float32),
+            pltpu.VMEM((TAIL, 2 * batch * E), jnp.int8),
+            pltpu.VMEM((1, s2, TAIL), jnp.float32),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA] * (5 if kv_quant else 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(),
@@ -690,40 +881,34 @@ def _wide_impl(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(vmem_inputs)
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(hbm_inputs)
         ),
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, E, 8 * E), wdtype),
-            pltpu.VMEM((2, 4 * E, E), wdtype),
-            pltpu.VMEM((2, KV_CHUNK, 2 * batch * E), kv_dtype),
-            pltpu.VMEM(
-                (2, (live_max if use_rel else 128) + 128, E),
-                packed["rel_rows"].dtype,
-            ),
-            pltpu.VMEM((config.num_layers, TAIL, 2 * batch * E), kv_dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 if kv_quant else 1),
+        scratch_shapes=scratch,
     )
 
-    kv_index = len(scalars) + len(vmem_inputs) + len(hbm_inputs) - 1
-    tokens, kv_state = pl.pallas_call(
+    base = len(scalars) + len(vmem_inputs)
+    aliases = {base + 3: 1}  # kv_state
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, out_len), jnp.int32),
+        jax.ShapeDtypeStruct(kv_state.shape, kv_state.dtype),
+    )
+    if kv_quant:
+        aliases[base + 4] = 2  # kv_scale
+        out_shape += (jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),)
+    result = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, out_len), jnp.int32),
-            jax.ShapeDtypeStruct(kv_state.shape, kv_state.dtype),
-        ),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-        input_output_aliases={kv_index: 1},
+        input_output_aliases=aliases,
     )(*scalars, *vmem_inputs, *hbm_inputs)
+    if kv_quant:
+        tokens, kv_state, kv_scale = result
+        return tokens[:, :length], (kv_state, kv_scale)
+    tokens, kv_state = result
     return tokens[:, :length], kv_state
 
 
@@ -735,7 +920,9 @@ def megakernel_generate_wide(
 ):
     """Generates ``length`` tokens per prompt row through the streaming wide
     kernel; returns ``(tokens, kv_state)`` — thread the returned (donated)
-    KV state into the next call.
+    KV state into the next call. ``kv_state`` may be the int8-KV
+    ``(cache, scales)`` pair from ``init_kv_state(quantize_kv=True)``;
+    the returned state then keeps that pair form.
 
     Same prompt/sampling semantics as
     :func:`ops.decode_kernel_batched.megakernel_generate_batched` (ragged
@@ -748,6 +935,25 @@ def megakernel_generate_wide(
     prompts = jnp.asarray(prompts, jnp.int32)
     if prompts.shape[1] + length > cache_len:
         raise ValueError("prompt + length exceeds cache")
+    if isinstance(kv_state, tuple):  # int8-KV state pair
+        kv_state, kv_scale = kv_state
+        if kv_state.dtype != jnp.int8:
+            raise ValueError(
+                "a (cache, scales) kv_state pair requires an int8 cache; "
+                f"got {kv_state.dtype} (init_kv_state(quantize_kv=True))"
+            )
+        expected_scale = (
+            config.num_layers, _cache_rows(cache_len) // TAIL,
+            _round_up(2 * prompts.shape[0], 8), TAIL,
+        )
+        if kv_scale.shape != expected_scale:
+            raise ValueError(
+                f"kv_scale shape {kv_scale.shape} does not match "
+                f"{expected_scale} (init_kv_state with the same "
+                "batch/cache_len)"
+            )
+    else:
+        kv_scale = None
     expected = (
         config.num_layers, _cache_rows(cache_len),
         2 * prompts.shape[0] * config.embed_dim,
@@ -782,7 +988,8 @@ def megakernel_generate_wide(
         temperature, top_k, top_p, greedy, use_k, use_p
     )
     return _wide_impl(
-        packed, kv_state, prompts, plens, seed, temperature, top_k, top_p,
+        packed, kv_state, kv_scale, prompts, plens, seed, temperature,
+        top_k, top_p,
         config=config, length=length, cache_len=cache_len,
         interpret=interpret, greedy=greedy, use_k=use_k, use_p=use_p,
         ragged=ragged,

@@ -559,7 +559,12 @@ class WideTransformerDecoder:
 
     Set ``COMPOSER_WIDE_INT8=1`` to pack the streamed weight blocks int8
     with per-output-channel scales: halves the dominant per-step HBM
-    stream at a documented (non-bit-exact) numeric cost.
+    stream at a documented (non-bit-exact) numeric cost. Set
+    ``COMPOSER_WIDE_INT8_KV=1`` to also stream the KV prefix int8 (the
+    second-largest per-step HBM term): rows quantize at the tail flush
+    with exact per-column dequant epilogues — bit-identical to float KV
+    until the first flush, half-quantization-step-bounded after
+    (ops/decode_kernel_wide.py). The two flags compose.
     """
 
     def __init__(self, model, params, dtype=None):
@@ -580,6 +585,7 @@ class WideTransformerDecoder:
         self.kv_dtype = (
             jnp.bfloat16 if dtype == jnp.int8 else dtype
         )
+        self.kv_quant = os.environ.get("COMPOSER_WIDE_INT8_KV", "0") == "1"
         self._kv = {}  # (batch, cache_len) -> carried HBM cache
         self._interpret = jax.default_backend() != "tpu"
 
@@ -592,7 +598,8 @@ class WideTransformerDecoder:
             # in, aliased out): stale rows are overwritten before any read.
             self._kv.clear()  # at most one live shape — they are ~100s of MB
             self._kv[key] = dkw.init_kv_state(
-                self.config, batch, cache_len, dtype=self.kv_dtype
+                self.config, batch, cache_len, dtype=self.kv_dtype,
+                quantize_kv=self.kv_quant,
             )
         return key, self._kv[key]
 

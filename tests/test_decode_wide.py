@@ -285,3 +285,118 @@ def test_int8_matmul_epilogue_error_bound():
             rel = np.abs(got - ref) / denom
             assert rel.max() < 0.05, rel.max()
             assert rel.mean() < 0.01, rel.mean()
+
+
+# ---------------------------------------------------------------- int8 KV
+
+
+def _wide_int8_kv(model, params, prompts, length, cache_len, **kw):
+    """Runs the wide kernel with the int8-KV state pair (f32 weights)."""
+    packed = pack_weights_wide(params, model.config, dtype=jnp.float32)
+    kv = init_kv_state(
+        model.config, np.asarray(prompts).shape[0], cache_len,
+        quantize_kv=True,
+    )
+    tokens, state = megakernel_generate_wide(
+        packed, kv, prompts, kw.pop("seed", 0), kw.pop("temperature", 0.0),
+        config=model.config, length=length, cache_len=cache_len,
+        interpret=True, **kw,
+    )
+    return np.asarray(tokens), state
+
+
+def test_wide_int8_kv_exact_before_first_flush():
+    """int8 KV is BIT-identical to float KV until the first tail flush
+    (position < TAIL): the tail window stays float, and no quantized HBM
+    row is ever read before one is written."""
+    model, params = _model(True)
+    rng = np.random.default_rng(20)
+    prompts = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    exact = _wide(model, params, prompts, length=20, cache_len=128)
+    quant, state = _wide_int8_kv(model, params, prompts, 20, 128)
+    np.testing.assert_array_equal(quant, exact)
+    assert isinstance(state, tuple) and state[0].dtype == jnp.int8
+
+
+def test_wide_int8_kv_quantized_rows_stay_close():
+    """A generation crossing the first flush (position 128): tokens up to
+    the flush are bit-exact; after it, attention reads int8 rows through
+    the exact dequant epilogues and greedy tokens stay in high agreement
+    (the error is bounded by half a quantization step per row)."""
+    model, params = _model(True, window=256)
+    rng = np.random.default_rng(21)
+    prompts = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    exact = _wide(model, params, prompts, length=150, cache_len=256)
+    quant, _ = _wide_int8_kv(model, params, prompts, 150, 256)
+    # Token g is emitted at position g + plen - 1; positions < 128 never
+    # touch a quantized row.
+    np.testing.assert_array_equal(quant[:, :115], exact[:, :115])
+    agreement = float((quant == exact).mean())
+    assert agreement >= 0.85, f"int8-KV greedy agreement too low: {agreement}"
+
+
+def test_wide_int8_kv_state_reuse_is_stale_proof():
+    """A second generation through the SAME (dirtied) int8-KV state pair —
+    cache AND scale blocks — matches the fresh-state result exactly."""
+    model, params = _model(True, window=256)
+    packed = pack_weights_wide(params, model.config, dtype=jnp.float32)
+    rng = np.random.default_rng(22)
+    first = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    second = rng.integers(0, VOCAB, (2, 9)).astype(np.int32)
+    kw = dict(config=model.config, length=140, cache_len=256, interpret=True)
+
+    kv = init_kv_state(model.config, 2, 256, quantize_kv=True)
+    _, kv = megakernel_generate_wide(packed, kv, first, 0, 0.0, **kw)
+    reused, _ = megakernel_generate_wide(packed, kv, second, 0, 0.0, **kw)
+    fresh_state = init_kv_state(model.config, 2, 256, quantize_kv=True)
+    fresh, _ = megakernel_generate_wide(
+        packed, fresh_state, second, 0, 0.0, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(reused), np.asarray(fresh))
+
+
+def test_int8_kv_quantizer_segment_bound():
+    """quantize_kv_segments' exact contract (the helper the kernel's flush
+    uses): per-(row, segment) scales are max|seg|/127 and every dequantized
+    element sits within half a quantization step."""
+    from composer_tpu.ops.decode_kernel_wide import quantize_kv_segments
+
+    rng = np.random.default_rng(23)
+    nseg, width = 4, 16
+    block = rng.standard_normal((128, nseg * width)).astype(np.float32)
+    block[:, :width] *= 100.0   # wildly different per-segment ranges
+    block[:, width : 2 * width] *= 1e-3
+    block[5, 2 * width : 3 * width] = 0.0  # an all-zero segment row
+    q, s = quantize_kv_segments(jnp.asarray(block), nseg, width)
+    q = np.asarray(q, np.float32)
+    s = np.asarray(s, np.float32)
+    assert np.abs(q).max() <= 127
+    for j in range(nseg):
+        seg = block[:, j * width : (j + 1) * width]
+        expected = np.maximum(np.abs(seg).max(axis=1, keepdims=True), 1e-12)
+        np.testing.assert_allclose(
+            s[:, j : j + 1], expected / 127.0, rtol=1e-6
+        )
+        err = np.abs(q[:, j * width : (j + 1) * width] * s[:, j : j + 1] - seg)
+        assert (err <= 0.5001 * s[:, j : j + 1] + 1e-9).all()
+
+
+def test_wide_engine_int8_kv_routes_and_matches(monkeypatch):
+    """COMPOSER_WIDE_INT8_KV=1 makes WideTransformerDecoder carry the
+    (cache, scales) pair, and short generations (no flush) match the float
+    engine bit-exactly through the full engine plumbing."""
+    from composer_tpu.train.generate import WideTransformerDecoder
+
+    model, params = _model(True)
+    rng = np.random.default_rng(24)
+    prompts = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+
+    baseline = WideTransformerDecoder(model, params).generate(
+        prompts, length=10, temperature=0.0, cache_len=128
+    )
+    monkeypatch.setenv("COMPOSER_WIDE_INT8_KV", "1")
+    engine = WideTransformerDecoder(model, params)
+    got = engine.generate(prompts, length=10, temperature=0.0, cache_len=128)
+    np.testing.assert_array_equal(got, baseline)
+    (state,) = engine._kv.values()
+    assert isinstance(state, tuple) and state[0].dtype == jnp.int8
