@@ -310,6 +310,37 @@ def run_wide_int8_decode_benchmark(batch_size: int = 8, length: int = 1014,
     return result
 
 
+def run_wide_int8_kv_decode_benchmark(batch_size: int = 8,
+                                      length: int = 1014,
+                                      embed_dim: int = 1024):
+    """int8 KV streaming wide decode (COMPOSER_WIDE_INT8_KV).
+
+    Same workload as the bf16 wide row with the KV prefix streamed int8
+    (rows quantized at the tail flush, exact per-column dequant epilogues
+    — ops/decode_kernel_wide.py). The detail carries the analytic KV
+    prefix stream at the mean live prefix (~length/2 rows): the second-
+    largest HBM term after the weights, halved by the packing.
+    """
+    import os
+
+    os.environ["COMPOSER_WIDE_INT8_KV"] = "1"
+    try:
+        result = run_decode_benchmark(
+            batch_size=batch_size, length=length, embed_dim=embed_dim,
+            engine="wide", repeats=2,
+        )
+    finally:
+        os.environ.pop("COMPOSER_WIDE_INT8_KV", None)
+    layers, live = 8, length // 2
+    kv_elems = layers * live * 2 * batch_size * embed_dim
+    result["detail"]["int8_kv"] = True
+    result["detail"]["kv_stream_mb_per_step"] = round(kv_elems / 1e6, 1)
+    result["detail"]["kv_stream_mb_per_step_bf16"] = round(
+        2 * kv_elems / 1e6, 1
+    )
+    return result
+
+
 def run_batched_decode_benchmark(
     batch_size: int = 64,
     length: int = 2048,
@@ -1338,6 +1369,18 @@ def run_all(write_markdown=True):
             "wide-model decode (embed 1024, batch 8, streaming kernel, int8)",
             lambda: run_wide_int8_decode_benchmark()
             if on_tpu else {"error": "int8 wide bench skipped off-TPU"},
+        ),
+        (
+            # int8 KV streaming (r5): the KV prefix — the second-largest
+            # per-step HBM term (~66 MB bf16 at mean live 507) — streams
+            # int8 with flush-time quantization and exact per-column
+            # dequant epilogues. Numerics pinned in
+            # tests/test_decode_wide.py (bit-exact pre-flush, half-step
+            # bound after) + compiled TPU parity in
+            # scripts/bringup_wide_int8_kv.py.
+            "wide-model decode (embed 1024, batch 8, streaming, int8 KV)",
+            lambda: run_wide_int8_kv_decode_benchmark()
+            if on_tpu else {"error": "int8-KV wide bench skipped off-TPU"},
         ),
         (
             # Continuous batching for the weights-over-VMEM class (r5): the

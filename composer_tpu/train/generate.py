@@ -756,7 +756,15 @@ def _use_spec_kernel(model, model_type, batch: int, cache_len: int,
 
 def _wide_generate(model, params, prompt, length, temperature, seed,
                    cache_len, top_k=0, top_p=0.0, prompt_lengths=None):
-    key = (id(model), id(params))
+    import os
+
+    # The quantization env flags are read at engine construction; keying
+    # on them keeps a toggled flag from reusing a stale packed engine.
+    key = (
+        id(model), id(params),
+        os.environ.get("COMPOSER_WIDE_INT8", "0"),
+        os.environ.get("COMPOSER_WIDE_INT8_KV", "0"),
+    )
     engine = _WIDE_ENGINE_CACHE.get(key)
     if engine is None:
         engine = WideTransformerDecoder(model, params)
